@@ -1,0 +1,187 @@
+"""ExpertSolver: prepare/solve split, guest mode, global interpolation."""
+
+import numpy as np
+import pytest
+
+import wlsqm_tpu as wt
+
+from conftest import quadratic_2d, quadratic_3d
+
+
+def _solver_2d(ncases, npts, order=2, algorithm=None, do_sens=False,
+               debug=False, host=None):
+    algorithm = wt.ALGO_BASIC if algorithm is None else algorithm
+    return wt.ExpertSolver(
+        dimension=2,
+        nk=np.full(ncases, npts, np.int32),
+        order=np.full(ncases, order, np.int32),
+        knowns=np.zeros(ncases, np.int64),
+        weighting_method=np.full(ncases, wt.WEIGHT_UNIFORM, np.int32),
+        algorithm=algorithm, do_sens=do_sens, ntasks=1, debug=debug,
+        host=host,
+    )
+
+
+def test_single_case_matches_fit_2d(rng):
+    f, expected = quadratic_2d()
+    xk = rng.uniform(-1, 1, (30, 2))
+    fk = f(xk)
+
+    fi_ref = np.zeros(6)
+    wt.fit_2D(xk=xk, fk=fk, xi=np.zeros(2), fi=fi_ref, sens=None,
+              do_sens=False, order=2, knowns=0,
+              weighting_method=wt.WEIGHT_UNIFORM, debug=False)
+
+    es = _solver_2d(1, 30)
+    es.prepare(xi=np.zeros((1, 2)), xk=xk[None])
+    fi = np.zeros((1, 6))
+    es.solve(fk=fk[None], fi=fi)
+
+    np.testing.assert_allclose(fi[0], fi_ref, atol=1e-13)
+    np.testing.assert_allclose(fi[0], expected, atol=1e-10)
+
+
+def test_prepare_once_solve_twice(rng):
+    f1, e1 = quadratic_2d()
+    shift = 7.5
+    npts = 30
+    xk = rng.uniform(-1, 1, (1, npts, 2))
+
+    es = _solver_2d(1, npts)
+    es.prepare(xi=np.zeros((1, 2)), xk=xk)
+    fi = np.zeros((1, 6))
+
+    es.solve(fk=f1(xk[0])[None], fi=fi)
+    np.testing.assert_allclose(fi[0], e1, atol=1e-10)
+
+    es.solve(fk=(f1(xk[0]) + shift)[None], fi=fi)
+    e2 = e1.copy()
+    e2[wt.i2_F] += shift
+    np.testing.assert_allclose(fi[0], e2, atol=1e-10)
+
+
+def test_iterative_matches_basic(rng):
+    f, expected = quadratic_2d()
+    npts = 30
+    xk = rng.uniform(-1, 1, (1, npts, 2))
+    fk = f(xk[0])[None]
+
+    out = {}
+    for name, algo in (("basic", wt.ALGO_BASIC),
+                       ("iter", wt.ALGO_ITERATIVE)):
+        es = _solver_2d(1, npts, algorithm=algo)
+        es.prepare(xi=np.zeros((1, 2)), xk=xk)
+        fi = np.zeros((1, 6))
+        es.solve(fk=fk, fi=fi)
+        out[name] = fi.copy()
+    np.testing.assert_allclose(out["basic"], out["iter"], atol=1e-12)
+    np.testing.assert_allclose(out["basic"][0], expected, atol=1e-10)
+
+
+def test_3d_case(rng):
+    f, expected = quadratic_3d()
+    npts = 40
+    xk = rng.uniform(-1, 1, (1, npts, 3))
+    es = wt.ExpertSolver(
+        dimension=3, nk=np.array([npts], np.int32),
+        order=np.array([2], np.int32), knowns=np.zeros(1, np.int64),
+        weighting_method=np.array([wt.WEIGHT_UNIFORM], np.int32),
+        algorithm=wt.ALGO_BASIC, do_sens=False, ntasks=1, debug=False)
+    es.prepare(xi=np.zeros((1, 3)), xk=xk)
+    fi = np.zeros((1, 10))
+    es.solve(fk=f(xk[0])[None], fi=fi)
+    np.testing.assert_allclose(fi[0], expected, atol=1e-10)
+
+
+def test_guest_mode_shares_geometry(rng):
+    f, expected = quadratic_2d()
+    ncases, npts = 4, 25
+    xk = rng.uniform(-1, 1, (ncases, npts, 2))
+    fk = np.stack([f(xk[j]) for j in range(ncases)])
+
+    host = _solver_2d(ncases, npts)
+    host.prepare(xi=np.zeros((ncases, 2)), xk=xk)
+
+    guest = _solver_2d(ncases, npts, host=host)
+    guest.prepare(xi=np.zeros((ncases, 2)), xk=xk)
+    assert guest.prepared is host.prepared  # shared, not recomputed
+
+    fi = np.zeros((ncases, 6))
+    guest.solve(fk=fk, fi=fi)
+    for j in range(ncases):
+        np.testing.assert_allclose(fi[j], expected, atol=1e-10)
+
+
+def test_guest_mode_requires_ready_host(rng):
+    host = _solver_2d(2, 10)
+    with pytest.raises(RuntimeError):
+        _solver_2d(2, 10, host=host)
+
+
+def test_guest_mode_validates_config(rng):
+    host = _solver_2d(2, 10)
+    host.prepare(xi=np.zeros((2, 2)), xk=rng.uniform(-1, 1, (2, 10, 2)))
+    with pytest.raises(RuntimeError):
+        _solver_2d(3, 10, host=host)  # ncases mismatch
+    with pytest.raises(ValueError):
+        _solver_2d(2, 10, order=3, host=host)  # order mismatch
+
+
+def test_conds_requires_debug(rng):
+    es = _solver_2d(1, 20)
+    es.prepare(xi=np.zeros((1, 2)), xk=rng.uniform(-1, 1, (1, 20, 2)))
+    with pytest.raises(RuntimeError):
+        es.conds()
+
+    es_dbg = _solver_2d(1, 20, debug=True)
+    es_dbg.prepare(xi=np.zeros((1, 2)), xk=rng.uniform(-1, 1, (1, 20, 2)))
+    conds = es_dbg.conds()
+    assert conds.shape == (1,)
+    assert np.isfinite(conds).all() and (conds >= 1.0).all()
+
+
+def test_solve_before_prepare_raises(rng):
+    es = _solver_2d(1, 20)
+    with pytest.raises(RuntimeError):
+        es.solve(fk=np.zeros((1, 20)), fi=np.zeros((1, 6)))
+
+
+def test_interpolate_nearest_and_continuous(rng):
+    f, _ = quadratic_2d()
+    ncases, npts = 9, 25
+    # distinct origins on a grid so every local model is exact around its xi
+    gx, gy = np.meshgrid(np.linspace(-1, 1, 3), np.linspace(-1, 1, 3))
+    xi = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+    xk = xi[:, None, :] + rng.uniform(-0.5, 0.5, (ncases, npts, 2))
+    fk = f(xk)
+
+    es = _solver_2d(ncases, npts)
+    es.prepare(xi=xi, xk=xk)
+    fi = np.zeros((ncases, 6))
+    es.solve(fk=fk, fi=fi)
+    es.prep_interpolate()
+
+    q = rng.uniform(-0.9, 0.9, (40, 2))
+    out, idx = es.interpolate(q, mode="nearest")
+    np.testing.assert_allclose(out, f(q), atol=1e-9)
+    assert idx.shape == (40,)
+
+    # reusing the returned index set skips the search and matches
+    out2, _ = es.interpolate(q, mode="nearest", I=idx)
+    np.testing.assert_allclose(out2, out, atol=0)
+
+    outc, idxc = es.interpolate(q, mode="continuous", r=1.5)
+    assert idxc is None
+    np.testing.assert_allclose(outc, f(q), atol=1e-9)
+
+    # derivative interpolation through the global patched model
+    ddx, _ = es.interpolate(q, mode="nearest", diff=wt.i2_X)
+    np.testing.assert_allclose(ddx, 2 + 4 * q[:, 1] + 10 * q[:, 0], atol=1e-9)
+
+
+def test_memory_used_reports_bytes(rng):
+    es = _solver_2d(3, 20)
+    assert es.memory_used() == (0, 0)
+    es.prepare(xi=np.zeros((3, 2)), xk=rng.uniform(-1, 1, (3, 20, 2)))
+    used, total = es.memory_used()
+    assert used == total and used > 0

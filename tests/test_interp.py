@@ -1,0 +1,107 @@
+"""Model interpolation: values and derivatives at arbitrary query points."""
+
+import numpy as np
+
+import wlsqm_tpu as wt
+
+from conftest import quadratic_1d, quadratic_2d, quadratic_3d
+
+
+def _fit_2d(rng, f, order=2, npts=30):
+    xk = rng.uniform(-1, 1, (npts, 2))
+    fi = np.zeros(wt.number_of_dofs(2, order))
+    wt.fit_2D(xk=xk, fk=f(xk), xi=np.zeros(2), fi=fi, sens=None, do_sens=False,
+              order=order, knowns=0, weighting_method=wt.WEIGHT_UNIFORM,
+              debug=False)
+    return fi
+
+
+def test_2d_function_value(rng):
+    f, _ = quadratic_2d()
+    fi = _fit_2d(rng, f)
+    q = rng.uniform(-0.8, 0.8, (20, 2))
+    vals = wt.interpolate_fit(np.zeros(2), fi, dimension=2, order=2, x=q,
+                              diff=wt.i2_F)
+    np.testing.assert_allclose(vals, f(q), atol=1e-10)
+
+
+def test_2d_all_partial_derivatives(rng):
+    f, _ = quadratic_2d()
+    fi = _fit_2d(rng, f)
+    q = rng.uniform(-0.8, 0.8, (15, 2))
+    qx, qy = q[:, 0], q[:, 1]
+
+    cases = {
+        wt.i2_X: 2.0 + 4.0 * qy + 10.0 * qx,
+        wt.i2_Y: 3.0 + 4.0 * qx + 12.0 * qy,
+        wt.i2_X2: np.full_like(qx, 10.0),
+        wt.i2_XY: np.full_like(qx, 4.0),
+        wt.i2_Y2: np.full_like(qx, 12.0),
+    }
+    for diff, expected in cases.items():
+        got = wt.interpolate_fit(np.zeros(2), fi, 2, 2, q, diff=diff)
+        np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+def test_derivative_above_model_order_is_zero(rng):
+    f, _ = quadratic_2d()
+    fi = _fit_2d(rng, f, order=1, npts=20)
+    q = rng.uniform(-0.8, 0.8, (5, 2))
+    got = wt.interpolate_fit(np.zeros(2), fi, 2, 1, q, diff=wt.i2_X2)
+    np.testing.assert_array_equal(got, 0.0)
+
+
+def test_3d_function_value(rng):
+    f, _ = quadratic_3d()
+    xk = rng.uniform(-1, 1, (40, 3))
+    fi = np.zeros(10)
+    wt.fit_3D(xk=xk, fk=f(xk), xi=np.zeros(3), fi=fi, sens=None,
+              do_sens=False, order=2, knowns=0,
+              weighting_method=wt.WEIGHT_UNIFORM, debug=False)
+    q = rng.uniform(-0.8, 0.8, (20, 3))
+    vals = wt.interpolate_fit(np.zeros(3), fi, 3, 2, q, diff=wt.i3_F)
+    np.testing.assert_allclose(vals, f(q), atol=1e-10)
+
+
+def test_1d(rng):
+    f, _ = quadratic_1d()
+    xk = rng.uniform(-1, 1, 15)
+    fi = np.zeros(3)
+    wt.fit_1D(xk=xk, fk=f(xk), xi=0.0, fi=fi, sens=None, do_sens=False,
+              order=2, knowns=0, weighting_method=wt.WEIGHT_UNIFORM,
+              debug=False)
+    q = rng.uniform(-0.8, 0.8, 10)
+    vals = wt.interpolate_fit(0.0, fi, 1, 2, q, diff=wt.i1_F)
+    np.testing.assert_allclose(vals, f(q), atol=1e-12)
+    d1 = wt.interpolate_fit(0.0, fi, 1, 2, q, diff=wt.i1_X)
+    np.testing.assert_allclose(d1, 2.0 + 6.0 * q, atol=1e-11)
+
+
+def test_lambdify_2d(rng):
+    f, _ = quadratic_2d()
+    fi = _fit_2d(rng, f)
+    model = wt.lambdify_fit(np.zeros(2), fi, 2, 2)
+    x = rng.uniform(-0.5, 0.5, (4, 7))
+    y = rng.uniform(-0.5, 0.5, (4, 7))
+    got = model(x, y)
+    assert got.shape == (4, 7)
+    np.testing.assert_allclose(got, f(np.stack([x, y], -1)), atol=1e-10)
+    # scalar broadcast
+    got_s = model(0.25, 0.1)
+    np.testing.assert_allclose(got_s, f(np.array([0.25, 0.1])), atol=1e-10)
+
+
+def test_interpolation_during_refinement_consistency(rng):
+    """interpolate_fit evaluates the exact model the refinement loop uses:
+    fitting a polynomial then interpolating at the data points reproduces
+    the data to near machine precision."""
+    f, _ = quadratic_2d()
+    xk = rng.uniform(-1, 1, (30, 2))
+    fk = f(xk)
+    fi = np.zeros(6)
+    wt.fit_2D_iterative(xk=xk, fk=fk, xi=np.zeros(2), fi=fi, sens=None,
+                        do_sens=False, order=2, knowns=0,
+                        weighting_method=wt.WEIGHT_UNIFORM, max_iter=10,
+                        debug=False)
+    vals = wt.interpolate_fit(np.zeros(2), fi, 2, 2, xk, diff=wt.i2_F)
+    np.testing.assert_allclose(vals, fk, atol=1e-11)

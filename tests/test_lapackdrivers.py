@@ -1,0 +1,182 @@
+"""The batched linear-algebra driver layer (wlsqm_tpu.utils.lapackdrivers)."""
+
+import numpy as np
+import pytest
+
+from wlsqm_tpu.utils.lapackdrivers import (
+    ScalingAlgo,
+    distribute_items,
+    do_rescale,
+    general,
+    generalfactor,
+    generalfactored,
+    generals,
+    mgeneral,
+    rescale_columns,
+    rescale_dgeequ,
+    rescale_ruiz2001,
+    rescale_scalgm,
+    rescale_twopass,
+    svd,
+    symmetric,
+    symmetricfactor,
+    symmetricfactored,
+    tridiag,
+)
+
+
+def test_tridiag():
+    a = np.array([0.0, -1.0, -1.0, -1.0])
+    b = np.array([2.0, 2.0, 2.0, 2.0])
+    c = np.array([-1.0, -1.0, -1.0, 0.0])
+    x = np.array([1.0, 0.0, 0.0, 1.0])
+    tridiag(a, b, c, x)
+    np.testing.assert_allclose(x, [0.625, 0.25, 0.5, 0.75], atol=1e-14)
+
+
+def test_general_matches_numpy(rng):
+    n = 5
+    A0 = rng.standard_normal((n, n))
+    b0 = rng.standard_normal(n)
+    expected = np.linalg.solve(A0, b0)
+    A = np.asfortranarray(A0.copy())
+    b = b0.copy()
+    general(A, b)
+    np.testing.assert_allclose(b, expected, atol=1e-12)
+
+
+def test_general_factor_then_solve(rng):
+    n = 6
+    A0 = rng.standard_normal((n, n)) + n * np.eye(n)
+    b0 = rng.standard_normal(n)
+    A = np.asfortranarray(A0.copy())
+    ipiv = generalfactor(A)
+    b = b0.copy()
+    generalfactored(A, ipiv, b)
+    np.testing.assert_allclose(b, np.linalg.solve(A0, b0), atol=1e-12)
+
+
+def test_generals_multi_rhs(rng):
+    n, nrhs = 5, 3
+    A0 = rng.standard_normal((n, n)) + n * np.eye(n)
+    B0 = rng.standard_normal((n, nrhs))
+    A = np.asfortranarray(A0.copy())
+    B = np.asfortranarray(B0.copy())
+    generals(A, B)
+    np.testing.assert_allclose(B, np.linalg.solve(A0, B0), atol=1e-12)
+
+
+def test_mgeneral_batched(rng):
+    n, nb = 4, 7
+    A0 = rng.standard_normal((n, n, nb)) + n * np.eye(n)[:, :, None]
+    b0 = rng.standard_normal((n, nb))
+    A = np.asfortranarray(A0.copy())
+    b = np.asfortranarray(b0.copy())
+    mgeneral(A, b)
+    for i in range(nb):
+        np.testing.assert_allclose(
+            b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
+
+
+def test_symmetric_matches_numpy(rng):
+    n = 5
+    M = rng.standard_normal((n, n))
+    A0 = (M + M.T) / 2 + n * np.eye(n)
+    b0 = rng.standard_normal(n)
+    A = np.asfortranarray(A0.copy())
+    b = b0.copy()
+    symmetric(A, b)
+    np.testing.assert_allclose(b, np.linalg.solve(A0, b0), atol=1e-12)
+
+
+def test_symmetric_factor_then_solve(rng):
+    n = 5
+    M = rng.standard_normal((n, n))
+    A0 = (M + M.T) / 2 + n * np.eye(n)
+    b0 = rng.standard_normal(n)
+    A = np.asfortranarray(A0.copy())
+    ipiv = symmetricfactor(A)
+    b = b0.copy()
+    symmetricfactored(A, ipiv, b)
+    np.testing.assert_allclose(b, np.linalg.solve(A0, b0), atol=1e-12)
+
+
+def test_rescale_columns_unit_norms(rng):
+    A = np.asfortranarray(rng.standard_normal((4, 4)) * 100.0)
+    rescale_columns(A)
+    np.testing.assert_allclose(np.linalg.norm(A, axis=0), 1.0, atol=1e-12)
+
+
+def test_rescale_twopass_equals_dispatch(rng):
+    A0 = rng.standard_normal((4, 4)) * 100.0
+    A1 = np.asfortranarray(A0.copy())
+    A2 = np.asfortranarray(A0.copy())
+    r1, c1 = rescale_twopass(A1)
+    r2, c2 = do_rescale(A2, ScalingAlgo.ALGO_TWOPASS)
+    np.testing.assert_allclose(r1, r2, atol=1e-14)
+    np.testing.assert_allclose(c1, c2, atol=1e-14)
+    np.testing.assert_allclose(A1, A2, atol=1e-14)
+
+
+def test_ruiz_preserves_symmetry(rng):
+    n = 4
+    M = rng.standard_normal((n, n))
+    A = np.asfortranarray((M + M.T) / 2 + n * np.eye(n))
+    rescale_ruiz2001(A)
+    np.testing.assert_allclose(A, A.T, atol=1e-12)
+
+
+def test_ruiz_equilibrates_inf_norms(rng):
+    A = np.asfortranarray(np.diag([1e8, 1.0, 1e-8]) + 0.1)
+    rescale_ruiz2001(A)
+    np.testing.assert_allclose(np.abs(A).max(axis=0), 1.0, atol=1e-8)
+    np.testing.assert_allclose(np.abs(A).max(axis=1), 1.0, atol=1e-8)
+
+
+def test_scalgm_equilibrates(rng):
+    A = np.asfortranarray(np.diag([1e6, 1.0, 1e-6]) + 0.05)
+    rescale_scalgm(A)
+    np.testing.assert_allclose(np.abs(A).max(axis=0), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.abs(A).max(axis=1), 1.0, atol=1e-6)
+
+
+def test_dgeequ_positive_factors():
+    A = np.asfortranarray(np.array([[4.0, 1.0], [1.0, 3.0]]))
+    r, c = rescale_dgeequ(A.copy(order="F"))
+    assert (np.asarray(r) > 0).all() and (np.asarray(c) > 0).all()
+
+
+def test_dgeequ_singular_raises():
+    A = np.asfortranarray(np.array([[1.0, 1.0], [0.0, 0.0]]))
+    with pytest.raises(np.linalg.LinAlgError):
+        rescale_dgeequ(A)
+
+
+def test_do_rescale_unknown_algo_raises():
+    A = np.asfortranarray(np.eye(3))
+    with pytest.raises(ValueError, match="Unknown algorithm"):
+        do_rescale(A, 999)
+
+
+def test_scaling_algo_is_intenum():
+    import enum
+    assert issubclass(ScalingAlgo, enum.IntEnum)
+    assert int(ScalingAlgo.ALGO_DGEEQU) == 6
+    assert ScalingAlgo.ALGO_TWOPASS == 3
+    assert 3 == ScalingAlgo.ALGO_TWOPASS
+
+
+def test_svd_descending(rng):
+    A0 = rng.standard_normal((5, 5))
+    s = svd(np.asfortranarray(A0.copy()))
+    assert (np.diff(s) <= 0).all()
+    np.testing.assert_allclose(
+        s, np.linalg.svd(A0, compute_uv=False), atol=1e-12)
+
+
+def test_distribute_items():
+    bs, bi = distribute_items(10, 3)
+    assert bs.sum() == 10
+    np.testing.assert_array_equal(bi, [0, 4, 7])
+    bs2, _ = distribute_items(2, 4)  # fewer items than tasks
+    assert bs2.sum() == 2

@@ -1,0 +1,94 @@
+"""Sharded execution ≡ single-device execution.
+
+This plays the role of the reference's parallel-vs-serial equivalence tests:
+partitioning the case axis over an 8-device (virtual CPU) mesh must give
+bit-for-bit the same DOFs as one device.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import wlsqm_tpu as wt
+from wlsqm_tpu.fitter import engine
+from wlsqm_tpu.parallel import sharding
+
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device (virtual) platform"
+)
+
+
+def _problem(rng, ncases, npts):
+    def f(xy):
+        x, y = xy[..., 0], xy[..., 1]
+        return 1.0 + 2.0 * x + 3.0 * y + 4.0 * x * y + 5.0 * x**2 + 6.0 * y**2
+    xk = rng.uniform(-1, 1, (ncases, npts, 2))
+    fk = f(xk)
+    return (
+        xk, fk,
+        np.full(ncases, npts, np.int32),
+        np.zeros((ncases, 2)),
+        np.zeros((ncases, 6)),
+        np.full(ncases, 2, np.int32),
+        np.zeros(ncases, np.int64),
+        np.full(ncases, wt.WEIGHT_UNIFORM, np.int32),
+    )
+
+
+@needs_devices
+def test_sharded_equals_single_device(rng):
+    ncases = 64  # divisible by the 8 virtual devices
+    args = _problem(rng, ncases, 25)
+
+    mesh = sharding.make_mesh()
+    fi_sh, _, _, _ = sharding.sharded_fit_many(
+        mesh, *args, dimension=2, NO=6)
+
+    import jax.numpy as jnp
+    fi_1, _, _, _ = engine.fit_batch(
+        *map(jnp.asarray, args), dimension=2, NO=6)
+
+    np.testing.assert_array_equal(np.asarray(fi_sh), np.asarray(fi_1))
+
+
+@needs_devices
+def test_sharded_no_collectives_in_fit(rng):
+    """The fit path must be embarrassingly parallel: its compiled HLO
+    contains no cross-device collectives."""
+    ncases = 32
+    args = _problem(rng, ncases, 20)
+    mesh = sharding.make_mesh(4)
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local_fit(*a):
+        return engine.fit_batch(*a, dimension=2, NO=6)
+
+    fn = jax.shard_map(
+        local_fit, mesh=mesh,
+        in_specs=(P("cases"),) * 8,
+        out_specs=(P("cases"),) * 4,
+    )
+    lowered = jax.jit(fn).lower(*map(jnp.asarray, args))
+    hlo = lowered.compile().as_text()
+    for coll in ("all-reduce", "all-gather", "all-to-all",
+                 "collective-permute", "reduce-scatter"):
+        assert coll not in hlo, "unexpected collective %r in fit HLO" % coll
+
+
+@needs_devices
+def test_replicated_coefficients_gathers_all(rng):
+    mesh = sharding.make_mesh()
+    n = 8 * len(jax.devices())
+    fi = rng.standard_normal((n, 6))
+    fi_dist = sharding.distribute(mesh, fi)
+    fi_rep = sharding.replicated_coefficients(mesh, fi_dist)
+    np.testing.assert_array_equal(np.asarray(fi_rep), fi)
+
+
+def test_pad_cases():
+    assert sharding.pad_cases(10, 8) == 16
+    assert sharding.pad_cases(16, 8) == 16
+    assert sharding.pad_cases(1, 8) == 8

@@ -1,0 +1,235 @@
+"""Functional JAX-native API for wlsqm_tpu.
+
+This is the idiomatic entry point for TPU users: pure functions over device
+arrays, composable with ``jax.jit`` / ``vmap`` / ``shard_map``.  The
+compatibility layer (:mod:`wlsqm_tpu.fitter.simple`,
+:class:`wlsqm_tpu.fitter.expert.ExpertSolver`) is built on the same engine.
+
+Typical flow::
+
+    import wlsqm_tpu as wt
+
+    res = wt.fit_many(xk, fk, xi, order=2)        # batched fit
+    res.fi                                         # (B, NO) derivative DOFs
+
+    prep = wt.prepare(xk, xi, order=4)             # IBVP time stepping:
+    for step in range(nsteps):                     # prepare once,
+        fi, _ = wt.solve(prep, fk)                 # solve many times
+
+    vals = wt.interpolate(fi_b, xi_b, x, dimension=2, order=2, diff=wt_i2_X)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wlsqm_tpu.fitter import defs, engine
+from wlsqm_tpu.fitter.interp import eval_fit
+from wlsqm_tpu.ops import solve as solve_ops
+
+__all__ = ["FitResult", "fit", "fit_many", "prepare", "solve", "interpolate"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("fi", "sens", "iterations", "cond_scaled"),
+    meta_fields=(),
+)
+@dataclasses.dataclass(frozen=True)
+class FitResult:
+    """Result of a batched fit.
+
+    fi          : (B, NO) solved DOFs (function value + derivatives at xi)
+    sens        : (B, K, NO) sensitivities d fi / d fk, or None
+    iterations  : (B,) refinement iterations taken (0 for the basic algorithm)
+    cond_scaled : (B,) 2-norm condition numbers of the scaled matrices
+                  (NaN unless debug=True)
+    """
+
+    fi: jax.Array
+    sens: jax.Array | None
+    iterations: jax.Array
+    cond_scaled: jax.Array
+
+
+def _broadcast_case_param(value, B, dtype):
+    arr = jnp.asarray(value, dtype)
+    if arr.ndim == 0:
+        arr = jnp.full((B,), arr)
+    return arr
+
+
+def _canon_geometry(xk, xi):
+    """Coerce (B,K)/(B,) 1D layouts to (B,K,1)/(B,1); infer dimension."""
+    xk = jnp.asarray(xk)
+    if xk.ndim == 2:
+        xk = xk[..., None]
+    B, K, dim = xk.shape
+    if xi is None:
+        xi = jnp.zeros((B, dim), xk.dtype)
+    else:
+        xi = jnp.asarray(xi, xk.dtype)
+        if xi.ndim == 1 and dim == 1:
+            xi = xi[:, None]
+    return xk, xi, B, K, dim
+
+
+def fit_many(
+    xk,
+    fk,
+    xi=None,
+    *,
+    nk=None,
+    order=2,
+    knowns=0,
+    weighting=defs.WEIGHT_UNIFORM,
+    fi_init=None,
+    do_sens: bool = False,
+    iterative: bool = False,
+    max_iter: int = 10,
+    max_order: int | None = None,
+    debug: bool = False,
+) -> FitResult:
+    """Fit a batch of local surrogate models (JAX-native).
+
+    xk: (B, K, dim) neighbor coordinates ((B, K) accepted for 1D)
+    fk: (B, K) data values at the neighbors
+    xi: (B, dim) fit origins; defaults to zeros
+    nk: (B,) valid neighbor counts; defaults to K for every case
+    order / knowns / weighting: scalars or (B,) arrays (scalars broadcast)
+    fi_init: (B, NO) initial DOF array carrying the known values; zeros if None
+
+    Returns a :class:`FitResult`.  This function is jit-compiled; wrap it in
+    ``shard_map`` over the case axis for multi-chip execution (see
+    :func:`wlsqm_tpu.parallel.sharded_fit_many`).
+    """
+    xk, xi, B, K, dim = _canon_geometry(xk, xi)
+    fk = jnp.asarray(fk, xk.dtype)
+    nk = (jnp.full((B,), K, jnp.int32) if nk is None
+          else jnp.asarray(nk, jnp.int32))
+    order_a = _broadcast_case_param(order, B, jnp.int32)
+    knowns_a = _broadcast_case_param(knowns, B, jnp.int64)
+    weighting_a = _broadcast_case_param(weighting, B, jnp.int32)
+
+    if max_order is None:
+        max_order = int(np.max(np.asarray(order)))
+    NO = defs.number_of_dofs(dim, max_order)
+    fi0 = (jnp.zeros((B, NO), xk.dtype) if fi_init is None
+           else jnp.asarray(fi_init, xk.dtype))
+
+    fi, sens, iters, cond = engine.fit_batch(
+        xk, fk, nk, xi, fi0, order_a, knowns_a, weighting_a,
+        dimension=dim, NO=NO, do_sens=do_sens, iterative=iterative,
+        max_iter=max_iter, debug=debug,
+    )
+    return FitResult(
+        fi=fi,
+        sens=sens if do_sens else None,
+        iterations=iters,
+        cond_scaled=cond,
+    )
+
+
+def fit(xk, fk, xi=None, **kwargs) -> FitResult:
+    """Single-neighborhood convenience wrapper: a batch of one.
+
+    xk: (K, dim) or (K,) for 1D; fk: (K,); xi: (dim,) or scalar.
+    The returned FitResult has its leading batch axis squeezed away.
+    """
+    xk = jnp.asarray(xk)
+    if xk.ndim == 1:
+        xk = xk[:, None]
+    if xi is None:
+        xi_b = None
+    else:
+        xi_arr = jnp.asarray(xi, xk.dtype).reshape(-1)
+        xi_b = xi_arr[None, :]
+    fi_init = kwargs.pop("fi_init", None)
+    if fi_init is not None:
+        fi_init = jnp.asarray(fi_init)[None, :]
+    res = fit_many(xk[None], jnp.asarray(fk)[None], xi_b,
+                   fi_init=fi_init, **kwargs)
+    return FitResult(
+        fi=res.fi[0],
+        sens=None if res.sens is None else res.sens[0],
+        iterations=res.iterations[0],
+        cond_scaled=res.cond_scaled[0],
+    )
+
+
+def prepare(
+    xk,
+    xi=None,
+    *,
+    nk=None,
+    order=2,
+    knowns=0,
+    weighting=defs.WEIGHT_UNIFORM,
+    max_order: int | None = None,
+    solver: str = solve_ops.SOLVER_CHOLESKY,
+    debug: bool = False,
+) -> engine.Prepared:
+    """Prepare geometry for repeated solves (JAX-native expert mode).
+
+    Returns a :class:`wlsqm_tpu.fitter.engine.Prepared` pytree — pass it to
+    :func:`solve`.  Being an ordinary pytree, it can be donated, checkpointed,
+    or shared between fields (the reference's "guest mode",
+    reference: wlsqm/fitter/expert.pyx:110-124, is simply object reuse here).
+    """
+    xk, xi, B, K, dim = _canon_geometry(xk, xi)
+    nk = (jnp.full((B,), K, jnp.int32) if nk is None
+          else jnp.asarray(nk, jnp.int32))
+    order_a = _broadcast_case_param(order, B, jnp.int32)
+    knowns_a = _broadcast_case_param(knowns, B, jnp.int64)
+    weighting_a = _broadcast_case_param(weighting, B, jnp.int32)
+    if max_order is None:
+        max_order = int(np.max(np.asarray(order)))
+    NO = defs.number_of_dofs(dim, max_order)
+    return partial(
+        jax.jit,
+        static_argnames=("dimension", "NO", "solver", "debug"),
+    )(engine.prepare)(
+        xk, nk, xi, order_a, knowns_a, weighting_a,
+        dimension=dim, NO=NO, solver=solver, debug=debug,
+    )
+
+
+def solve(
+    prep: engine.Prepared,
+    fk,
+    fi_init=None,
+    *,
+    do_sens: bool = False,
+    iterative: bool = False,
+    max_iter: int = 10,
+):
+    """Solve prepared systems against data ``fk``.
+
+    Returns (fi, sens) for the basic algorithm, or (fi, sens, iterations)
+    with ``iterative=True``.
+    """
+    fk = jnp.asarray(fk)
+    fi0 = (jnp.zeros((prep.ncases, prep.no_max), fk.dtype)
+           if fi_init is None else jnp.asarray(fi_init, fk.dtype))
+    if iterative:
+        return jax.jit(
+            engine.solve_iterative_prepared,
+            static_argnames=("max_iter", "do_sens"),
+        )(prep, fk, fi0, max_iter=max_iter, do_sens=do_sens)
+    return jax.jit(
+        engine.solve_prepared, static_argnames=("do_sens",)
+    )(prep, fk, fi0, do_sens=do_sens)
+
+
+def interpolate(fi, xi, x, *, dimension: int, order: int, diff: int = 0):
+    """Evaluate fitted models (or their derivatives) at query points.
+
+    Thin alias of :func:`wlsqm_tpu.fitter.interp.eval_fit`; batch axes of
+    fi/xi/x broadcast.
+    """
+    return eval_fit(fi, xi, x, dimension=dimension, order=order, diff=diff)

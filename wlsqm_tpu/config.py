@@ -1,0 +1,31 @@
+"""Precision / platform configuration for wlsqm_tpu.
+
+WLSQM solves small, potentially ill-conditioned dense systems; the reference
+implementation (reference: wlsqm/fitter/impl.pyx, README.md:76-78) is float64
+throughout, and the parity bar for this rebuild is 1e-10 relative agreement.
+Therefore the package enables JAX 64-bit mode on import unless the user opts
+out by setting the environment variable ``WLSQM_TPU_NO_X64=1`` *before*
+importing :mod:`wlsqm_tpu`.
+
+On TPU, float64 is software-emulated by XLA; the fast path (float32 assembly +
+iterative refinement) can be selected per-call via ``dtype=jnp.float32``
+arguments on the functional API.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_X64_WANTED = os.environ.get("WLSQM_TPU_NO_X64", "0") != "1"
+
+if _X64_WANTED:
+    jax.config.update("jax_enable_x64", True)
+
+
+def default_dtype():
+    """The default floating dtype for fitting (float64 unless x64 disabled)."""
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

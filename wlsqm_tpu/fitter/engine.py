@@ -1,0 +1,413 @@
+"""The TPU-native WLSQM fitting engine.
+
+This module replaces the reference's per-case pointer machinery and scalar
+loops (reference: wlsqm/fitter/infra.pyx Allocator/CaseManager/Case,
+wlsqm/fitter/impl.pyx make_c/make_A/preprocess_A/solve/solve_iterative) with a
+fully batched, statically-shaped, functional formulation:
+
+* every case is padded to ``NO`` DOFs and ``K`` neighbors; ragged neighbor
+  counts become a weight mask (w = 0 for k >= nk, reproducing the reference's
+  "unused elements are not read" contract, reference: wlsqm/fitter/simple.pyx:334);
+* per-case polynomial order becomes a DOF *activity* mask (valid because the
+  DOF numbering is grouped by derivative order);
+* the knowns bitmask becomes a boolean mask, and instead of remapping to an
+  (nr, nr) reduced system (reference: wlsqm/fitter/infra.pyx:145-200), known
+  rows/columns of A are zeroed with a unit diagonal and the known contribution
+  moves to the RHS — algebraically identical to the reference's elimination
+  (reference: wlsqm/fitter/impl.pyx:789-818) with static shapes;
+* preconditioning is batched Ruiz-2001 equilibration
+  (:mod:`wlsqm_tpu.ops.ruiz`), and the factorization is batched Cholesky of
+  the scaled SPD normal matrix (:mod:`wlsqm_tpu.ops.solve`); the reference's
+  OpenMP ``prange`` over cases becomes the batch axis of one compiled XLA
+  program, and multi-chip scaling is plain data-parallel sharding of that
+  axis (see :mod:`wlsqm_tpu.parallel`).
+
+Everything here is pure and jit/vmap/shard_map-compatible.  The ``Prepared``
+pytree is the TPU analogue of the reference ExpertSolver's prepared state
+(factorizations resident in HBM, reference: wlsqm/fitter/expert.pyx:66-89):
+it can be solved against many times, serialized, donated, or shared between
+fields ("guest mode" = reusing the same Prepared object).
+
+Shapes (B = number of cases, K = padded neighbor count, NO = padded DOFs):
+  xk (B, K, dim) | fk (B, K) | nk (B,) | xi (B, dim)
+  order (B,) | knowns (B,) int64 | weighting (B,) | fi (B, NO)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from wlsqm_tpu.fitter import defs, tables
+from wlsqm_tpu.ops import ruiz as ruiz_ops
+from wlsqm_tpu.ops import solve as solve_ops
+
+# weight function constants (reference: wlsqm/fitter/infra.pyx:45-46)
+WEIGHT_ALPHA = 1e-4
+WEIGHT_BETA = 1.0 - WEIGHT_ALPHA
+
+
+# -----------------------------------------------------------------------------
+# Basis construction
+# -----------------------------------------------------------------------------
+
+def basis(delta: jax.Array, dimension: int, NO: int) -> jax.Array:
+    """Baked monomial basis rows for offsets ``delta``.
+
+    delta: (..., dim) offsets (x - xi).  Returns (..., NO) with
+    ``c[..., j] = prod_a delta[..., a] ** EXP[j, a] / prod_a EXP[j, a]!``.
+
+    The powers are built by the same multiplication sequence as the reference
+    (d2 = d*d, d3 = d2*d, d4 = d2*d2; reference: wlsqm/fitter/impl.pyx:107-117)
+    so roundoff matches to the last ulp.
+    """
+    dtype = delta.dtype
+    exp = tables.EXPONENTS[dimension][:NO]          # (NO, dim) static
+    invfact = tables.INV_FACT[dimension][:NO]       # (NO,) static
+    max_pow = int(exp.max()) if NO > 1 else 0
+
+    cols = []
+    for a in range(dimension):
+        d = delta[..., a]
+        powers = [jnp.ones_like(d), d]
+        if max_pow >= 2:
+            d2 = d * d
+            powers.append(d2)
+            if max_pow >= 3:
+                powers.append(d2 * d)
+                if max_pow >= 4:
+                    powers.append(d2 * d2)
+        p = jnp.stack(powers, axis=-1)              # (..., max_pow+1)
+        cols.append(p[..., exp[:, a]])              # (..., NO)
+    c = cols[0]
+    for col in cols[1:]:
+        c = c * col
+    return c * jnp.asarray(invfact, dtype)
+
+
+def dof_masks(order: jax.Array, knowns: jax.Array, dimension: int, NO: int):
+    """(active, known, unknown) boolean masks of shape (..., NO)."""
+    counts = np.asarray(defs._DOF_COUNTS[dimension], dtype=np.int32)  # (5,)
+    no = jnp.asarray(counts)[jnp.clip(order, 0, defs.MAX_ORDER)]      # (...,)
+    j = jnp.arange(NO, dtype=jnp.int32)
+    active = j[None, :] < no[..., None] if order.ndim else j < no
+    bits = (knowns[..., None].astype(jnp.int64) >> j.astype(jnp.int64)) & 1
+    known = jnp.logical_and(bits.astype(bool), active)
+    unknown = jnp.logical_and(active, jnp.logical_not(known))
+    return active, known, unknown
+
+
+def neighbor_weights(d2: jax.Array, kmask: jax.Array, weighting: jax.Array) -> jax.Array:
+    """Fitting weights from squared distances.
+
+    WEIGHT_UNIFORM: w = 1.  WEIGHT_CENTER: w = alpha + beta*(1 - sqrt(d2/max_d2))^2
+    normalized by the neighborhood's max squared distance
+    (reference: wlsqm/fitter/infra.pyx:668-702 ``Case_make_weights``).
+    Padded neighbors (kmask False) get w = 0.
+    """
+    dtype = d2.dtype
+    d2m = jnp.where(kmask, d2, 0.0)
+    max_d2 = d2m.max(axis=-1, keepdims=True)
+    safe = jnp.where(max_d2 > 0, max_d2, 1.0)
+    tmp = 1.0 - jnp.sqrt(d2m / safe)
+    center = WEIGHT_ALPHA + WEIGHT_BETA * tmp * tmp
+    w = jnp.where(
+        (weighting[..., None] == defs.WEIGHT_CENTER), center, jnp.ones_like(center)
+    )
+    return jnp.where(kmask, w, jnp.zeros((), dtype))
+
+
+# -----------------------------------------------------------------------------
+# Prepared state (the ExpertSolver "prepare" product, as a pytree)
+# -----------------------------------------------------------------------------
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "c",
+        "w",
+        "fac",
+        "row_scale",
+        "col_scale",
+        "active",
+        "known",
+        "unknown",
+        "xi",
+        "cond_orig",
+        "cond_scaled",
+        "ruiz_iters",
+    ),
+    meta_fields=("dimension", "solver"),
+)
+@dataclasses.dataclass(frozen=True)
+class Prepared:
+    """Cached geometry: basis rows, weights, scaled+factored normal matrices.
+
+    The TPU analogue of the reference's prepared Case arrays (c, w, LU(A),
+    row/col scalings; reference: wlsqm/fitter/infra.pxd:124-183).  Immutable;
+    solving against it is a pure function of (Prepared, fk, fi).
+    """
+
+    c: jax.Array            # (B, K, NO) baked basis rows
+    w: jax.Array            # (B, K) weights; 0 for padded neighbors
+    fac: tuple              # factorization of the scaled masked normal matrix
+    row_scale: jax.Array    # (B, NO)
+    col_scale: jax.Array    # (B, NO)
+    active: jax.Array       # (B, NO) bool
+    known: jax.Array        # (B, NO) bool
+    unknown: jax.Array      # (B, NO) bool
+    xi: jax.Array           # (B, dim) fit origins
+    cond_orig: jax.Array    # (B,) 2-norm condition numbers (NaN unless debug)
+    cond_scaled: jax.Array  # (B,)
+    ruiz_iters: jax.Array   # (B,) equilibration sweeps taken
+    dimension: int
+    solver: str
+
+    @property
+    def ncases(self) -> int:
+        return self.c.shape[0]
+
+    @property
+    def nk_max(self) -> int:
+        return self.c.shape[1]
+
+    @property
+    def no_max(self) -> int:
+        return self.c.shape[2]
+
+
+def prepare(
+    xk: jax.Array,
+    nk: jax.Array,
+    xi: jax.Array,
+    order: jax.Array,
+    knowns: jax.Array,
+    weighting: jax.Array,
+    *,
+    dimension: int,
+    NO: int,
+    solver: str = solve_ops.SOLVER_CHOLESKY,
+    debug: bool = False,
+) -> Prepared:
+    """Build + precondition + factor the normal matrices for a batch of cases.
+
+    Fuses the reference's make_c → make_A → preprocess_A pipeline
+    (reference: wlsqm/fitter/impl.pyx:47-689) into one batched program.
+    """
+    dtype = xk.dtype
+    B, K, _ = xk.shape
+
+    kmask = jnp.arange(K, dtype=nk.dtype)[None, :] < nk[:, None]
+    delta = xk - xi[:, None, :]                       # (B, K, dim)
+    # Padded neighbor slots may hold arbitrary (even non-finite) values; the
+    # reference never reads them (reference: wlsqm/fitter/simple.pyx:334).
+    # Zero them so 0-weight times non-finite cannot poison the contraction.
+    delta = jnp.where(kmask[:, :, None], delta, 0.0)
+    c = basis(delta, dimension, NO)                   # (B, K, NO)
+    d2 = jnp.sum(delta * delta, axis=-1)              # (B, K)
+    w = neighbor_weights(d2, kmask, weighting)
+
+    active, known, unknown = dof_masks(order, knowns, dimension, NO)
+
+    # A[j,m] = sum_k w_k c[k,j] c[k,m] over unknown DOFs; identity elsewhere
+    # (reference: wlsqm/fitter/impl.pyx:566-602 make_A). The contraction runs
+    # on the MXU as a batched matmul.
+    cw = c * w[..., None]
+    A_full = jnp.einsum("bkj,bkm->bjm", cw, c, preferred_element_type=dtype)
+    unk2 = jnp.logical_and(unknown[:, :, None], unknown[:, None, :])
+    eye = jnp.eye(NO, dtype=dtype)
+    A = jnp.where(unk2, A_full, 0.0) + jnp.where(unknown, 0.0, 1.0)[:, :, None] * eye
+
+    row_scale, col_scale, ruiz_iters = ruiz_ops.ruiz_scale(A)
+    A_scaled = ruiz_ops.apply_scaling(A, row_scale, col_scale)
+
+    if debug:
+        cond_orig = solve_ops.cond_2norm(A)
+        cond_scaled = solve_ops.cond_2norm(A_scaled)
+    else:
+        cond_orig = jnp.full((B,), jnp.nan, dtype)
+        cond_scaled = jnp.full((B,), jnp.nan, dtype)
+
+    fac = solve_ops.factor(A_scaled, solver)
+
+    return Prepared(
+        c=c,
+        w=w,
+        fac=fac,
+        row_scale=row_scale,
+        col_scale=col_scale,
+        active=active,
+        known=known,
+        unknown=unknown,
+        xi=xi,
+        cond_orig=cond_orig,
+        cond_scaled=cond_scaled,
+        ruiz_iters=ruiz_iters,
+        dimension=dimension,
+        solver=solver,
+    )
+
+
+# -----------------------------------------------------------------------------
+# Solving
+# -----------------------------------------------------------------------------
+
+def _rhs(prep: Prepared, resid: jax.Array) -> jax.Array:
+    """Row-scaled, masked RHS b_j = rs_j * sum_k w_k resid_k c[k,j]."""
+    cw = prep.c * prep.w[..., None]
+    b = jnp.einsum("bkj,bk->bj", cw, resid, preferred_element_type=resid.dtype)
+    return jnp.where(prep.unknown, b * prep.row_scale, 0.0)
+
+
+def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool = False):
+    """Fit the model against data ``fk`` using prepared geometry.
+
+    Knowns elimination moves the known DOFs' contribution to the RHS
+    (reference: wlsqm/fitter/impl.pyx:789-818); column scaling cancels for
+    eliminated DOFs exactly as in the reference.
+
+    Returns (fi_out, sens).  ``sens[b,k,j] = d fi[b,j] / d fk[b,k]`` for
+    unknown DOFs, NaN for known DOFs, 0 for inactive padding
+    (reference: wlsqm/fitter/impl.pyx:768-846).  ``sens`` is None when
+    ``do_sens`` is False.
+    """
+    dtype = fk.dtype
+    known_vals = jnp.where(prep.known, fi, 0.0)
+    model_known = jnp.einsum(
+        "bkj,bj->bk", prep.c, known_vals, preferred_element_type=dtype
+    )
+    # mask padded-neighbor slots (w == 0) so non-finite fk padding is inert
+    resid = jnp.where(prep.w > 0, fk - model_known, 0.0)
+    b = _rhs(prep, resid)
+    x = solve_ops.solve_factored(prep.fac, b[..., None], prep.solver)[..., 0]
+    fi_out = jnp.where(prep.unknown, x * prep.col_scale, fi)
+
+    sens = None
+    if do_sens:
+        # all-nk multi-RHS triangular solves in one shot
+        S = (prep.c * prep.w[..., None]).swapaxes(-1, -2)       # (B, NO, K)
+        S = jnp.where(prep.unknown[..., None], S * prep.row_scale[..., None], 0.0)
+        X = solve_ops.solve_factored(prep.fac, S, prep.solver)   # (B, NO, K)
+        sens = X.swapaxes(-1, -2) * prep.col_scale[..., None, :]  # (B, K, NO)
+        sens = jnp.where(prep.unknown[..., None, :], sens, 0.0)
+        sens = jnp.where(prep.known[..., None, :], jnp.nan, sens)
+    return fi_out, sens
+
+
+def solve_iterative_prepared(
+    prep: Prepared,
+    fk: jax.Array,
+    fi: jax.Array,
+    max_iter: int,
+    do_sens: bool = False,
+):
+    """Fit with iterative refinement (ALGO_ITERATIVE).
+
+    Refinement loop semantics follow the reference
+    (reference: wlsqm/fitter/impl.pyx:986-1083 ``solve_iterative``): before
+    each corrective fit, evaluate the model at the data points, compute the
+    l∞ residual norm over valid neighbors, and stop on *exact* norm
+    stagnation (norm == previous norm) or after ``max_iter`` corrective fits.
+    Sensitivities come from the initial solve only, as in the reference.
+
+    Returns (fi_out, sens, iterations) with per-case iteration counts.
+    """
+    fi1, sens = solve_prepared(prep, fk, fi, do_sens)
+    dtype = fk.dtype
+    B = fk.shape[0]
+    kmask = prep.w > 0
+
+    def cond(state):
+        i, done, *_ = state
+        return jnp.logical_and(i < max_iter, jnp.logical_not(done.all()))
+
+    def body(state):
+        i, done, fi_cur, prev_norm, iters = state
+        model = jnp.einsum(
+            "bkj,bj->bk", prep.c, fi_cur, preferred_element_type=dtype
+        )
+        resid = jnp.where(kmask, fk - model, 0.0)
+        norm = jnp.abs(resid).max(axis=-1)
+        done_now = jnp.logical_or(done, norm == prev_norm)
+
+        b = _rhs(prep, resid)
+        dx = solve_ops.solve_factored(prep.fac, b[..., None], prep.solver)[..., 0]
+        fi_new = jnp.where(prep.unknown, fi_cur + dx * prep.col_scale, fi_cur)
+        fi_next = jnp.where(done_now[:, None], fi_cur, fi_new)
+        iters = iters + jnp.logical_not(done_now).astype(jnp.int32)
+        return (i + 1, done_now, fi_next, norm, iters)
+
+    # carries derived from fk (zeros_like/full_like) so they inherit sharding
+    # metadata under shard_map
+    init = (
+        jnp.array(0, jnp.int32),
+        jnp.zeros_like(fk[:, 0], dtype=bool),
+        fi1,
+        jnp.full_like(fk[:, 0], -1.0),  # invalid prev norm, as in the reference
+        jnp.zeros_like(fk[:, 0], dtype=jnp.int32),
+    )
+    _, _, fi_out, _, iters = lax.while_loop(cond, body, init)
+    return fi_out, sens, iters
+
+
+# -----------------------------------------------------------------------------
+# One-shot fit (prepare + solve), the jit entry point for the simple API
+# -----------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "dimension",
+        "NO",
+        "do_sens",
+        "iterative",
+        "max_iter",
+        "solver",
+        "debug",
+    ),
+)
+def fit_batch(
+    xk: jax.Array,
+    fk: jax.Array,
+    nk: jax.Array,
+    xi: jax.Array,
+    fi: jax.Array,
+    order: jax.Array,
+    knowns: jax.Array,
+    weighting: jax.Array,
+    *,
+    dimension: int,
+    NO: int,
+    do_sens: bool = False,
+    iterative: bool = False,
+    max_iter: int = 10,
+    solver: str = solve_ops.SOLVER_CHOLESKY,
+    debug: bool = False,
+):
+    """Fit a batch of local models end to end.
+
+    Returns (fi_out, sens, iterations, cond_scaled).  This is the batched,
+    compiled equivalent of the reference's
+    ``generic_fit_{basic,iterative}_many_parallel`` call stacks
+    (reference: wlsqm/fitter/simple.pyx:953-1171) — the OpenMP prange becomes
+    the batch axis.
+    """
+    prep = prepare(
+        xk, nk, xi, order, knowns, weighting,
+        dimension=dimension, NO=NO, solver=solver, debug=debug,
+    )
+    if iterative:
+        fi_out, sens, iters = solve_iterative_prepared(
+            prep, fk, fi, max_iter, do_sens
+        )
+    else:
+        fi_out, sens = solve_prepared(prep, fk, fi, do_sens)
+        iters = jnp.zeros(fk.shape[0], jnp.int32)
+    if sens is None:
+        sens = jnp.zeros((0,), fk.dtype)  # jit-friendly placeholder
+    return fi_out, sens, iters, prep.cond_scaled

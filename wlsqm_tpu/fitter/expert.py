@@ -1,0 +1,388 @@
+"""ExpertSolver: prepare-once / solve-many API with cached factorizations.
+
+TPU-native rebuild of the reference's expert mode
+(reference: wlsqm/fitter/expert.pyx:66-781).  The reference caches per-case
+C buffers (basis matrix, scaled+LU-factored normal matrix) inside a
+CaseManager and reuses them across solves; here the prepared state is a
+:class:`wlsqm_tpu.fitter.engine.Prepared` pytree of batched device arrays
+resident in HBM, and ``solve()`` is one jit-compiled batched program against
+it.  This is the natural fit for IBVP explicit time stepping: geometry is
+prepared once, then each time step solves with new data.
+
+Guest mode (``host=``) shares the host solver's prepared arrays instead of
+recomputing them (reference: wlsqm/fitter/expert.pyx:110-124,161-189) — with
+immutable pytrees this is literally sharing the same ``Prepared`` object, and
+the reference's "host must stay alive" footgun disappears.
+
+Global interpolation patches the local models into a piecewise global
+surrogate (reference: wlsqm/fitter/expert.pyx:658-781): 'nearest' evaluates
+each query with the Voronoi-nearest local model; 'continuous' blends all
+models within radius ``r`` with weight ``(1 - sqrt(d²/r²))²``.  The kNN /
+radius searches run on a host k-d tree; the model evaluations are batched on
+device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.spatial
+
+from wlsqm_tpu.fitter import defs, engine, tables
+from wlsqm_tpu.ops import solve as solve_ops
+
+__all__ = ["ExpertSolver", "number_of_dofs"]
+
+# re-export (reference: wlsqm/fitter/expert.pyx:57-63)
+number_of_dofs = defs.number_of_dofs
+
+
+_prepare_jit = partial(
+    jax.jit,
+    static_argnames=("dimension", "NO", "solver", "debug"),
+)(engine.prepare)
+
+_solve_jit = jax.jit(engine.solve_prepared, static_argnames=("do_sens",))
+_solve_iter_jit = jax.jit(
+    engine.solve_iterative_prepared, static_argnames=("max_iter", "do_sens")
+)
+
+
+@partial(jax.jit, static_argnames=("dimension", "NO", "diff"))
+def _eval_models_at_points(fi, active, xi, x, *, dimension, NO, diff):
+    """Evaluate model b at point x[b], for b = 0..M-1 (one point per model).
+
+    fi (M, NO) padded coefficients, ``active`` masks each case's true DOF
+    count so heterogeneous per-case orders evaluate correctly.
+    """
+    coeffs = jnp.where(active, fi, 0.0)
+    P = tables.diff_projection(dimension, diff)[:NO, :NO]
+    coeffs = coeffs @ jnp.asarray(P.T, fi.dtype)
+    delta = x - xi                                  # (M, dim)
+    c = engine.basis(delta, dimension, NO)          # (M, NO)
+    return jnp.einsum("mj,mj->m", c, coeffs)
+
+
+class ExpertSolver:
+    """Advanced API with separate prepare and solve stages.
+
+    Typical usage::
+
+        s = ExpertSolver(dimension, nk, order, knowns, weighting_method, ...)
+        s.prepare(xi, xk)     # build + precondition + factor (once)
+        s.solve(fk, fi)       # many times, with different data fk
+
+    Constructor arguments mirror the reference
+    (reference: wlsqm/fitter/expert.pyx:92-157): per-case arrays ``nk``,
+    ``order``, ``knowns``, ``weighting_method`` of shape (ncases,);
+    ``algorithm`` one of ALGO_BASIC/ALGO_ITERATIVE; ``do_sens``; ``max_iter``;
+    ``ntasks`` (accepted for compatibility — parallelism is the batch axis);
+    ``debug`` (compute 2-norm condition numbers during prepare);
+    ``host`` (guest mode: share another prepared solver's geometry arrays).
+
+    Unlike the reference, the prepared state is an immutable pytree of JAX
+    arrays (:attr:`prepared`), so solvers are cheap to snapshot/serialize and
+    guest instances cannot dangle.
+    """
+
+    def __init__(self, dimension, nk, order, knowns, weighting_method,
+                 algorithm=defs.ALGO_BASIC, do_sens=False, max_iter=10,
+                 ntasks=1, debug=False, host=None):
+        nk = np.asarray(nk, dtype=np.int32)
+        order = np.asarray(order, dtype=np.int32)
+        knowns = np.asarray(knowns, dtype=np.int64)
+        weighting_method = np.asarray(weighting_method, dtype=np.int32)
+
+        ncases = nk.shape[0]
+        if (order.shape[0] != ncases or knowns.shape[0] != ncases
+                or weighting_method.shape[0] != ncases):
+            raise ValueError(
+                "nk, order, knowns and weighting_method must have the same "
+                "length; got len(nk)=%d, len(order)=%d, len(knowns)=%d, "
+                "len(weighting_method)=%d"
+                % (nk.shape[0], order.shape[0], knowns.shape[0],
+                   weighting_method.shape[0]))
+        if dimension not in (1, 2, 3):
+            raise ValueError("Dimension must be 1, 2 or 3, got %s" % (dimension,))
+        if algorithm not in (defs.ALGO_BASIC, defs.ALGO_ITERATIVE):
+            raise ValueError(
+                "Unknown algorithm specifier %s; see wlsqm_tpu.fitter.defs "
+                "for valid specifiers ALGO_*" % (algorithm,))
+        if ntasks is None or ntasks < 1:
+            raise ValueError("ntasks must be >= 1, got %s" % (ntasks,))
+
+        if host is not None:
+            if not host.ready:
+                raise RuntimeError(
+                    "In guest mode, host must be in the ready state "
+                    "(host.prepare() must have been called first).")
+            if host.ncases != ncases:
+                raise RuntimeError(
+                    "In guest mode, number of cases must match; got %d, host "
+                    "has %d" % (ncases, host.ncases))
+            if host.dimension != dimension:
+                raise ValueError(
+                    "In guest mode, dimension must match; got %d, host has %d"
+                    % (dimension, host.dimension))
+            if bool(host.debug) != bool(debug):
+                raise ValueError(
+                    "In guest mode, debug flag must match; got %s, host has %s"
+                    % (bool(debug), bool(host.debug)))
+            for name, mine, theirs in (
+                ("nk", nk, host.nk), ("order", order, host.order),
+                ("knowns", knowns, host.knowns),
+                ("weighting_method", weighting_method, host.weighting_method),
+            ):
+                if (np.asarray(theirs) != mine).any():
+                    raise ValueError(
+                        "In guest mode, '%s' must match element-by-element."
+                        % name)
+
+        self.host = host
+        self.ready = False
+        self.dimension = int(dimension)
+        self.algorithm = int(algorithm)
+        self.max_iter = int(max_iter)
+        self.ncases = int(ncases)
+        self.do_sens = bool(do_sens)
+        self.ntasks = int(ntasks)
+        self.debug = bool(debug)
+
+        self.nk = nk
+        self.order = order
+        self.knowns = knowns
+        self.weighting_method = weighting_method
+
+        self.NO = defs.number_of_dofs(self.dimension, int(order.max()))
+        self.xk = None
+        self.xi = None
+        self.tree = None
+        self.prepared: engine.Prepared | None = None
+        self._fi_internal = None  # last solved coefficients, (ncases, NO)
+
+    # -- prepare -----------------------------------------------------------
+
+    def prepare(self, xi, xk):
+        """Build, precondition and factor the problem matrix for each case.
+
+        (reference: wlsqm/fitter/expert.pyx:309-426)
+
+        xi: (ncases, dim) fit origins ((ncases,) in 1D)
+        xk: (ncases, max(nk), dim) neighbor coordinates ((ncases, max(nk)) in 1D)
+        """
+        self.ready = False
+
+        if self.host is not None:
+            # guest mode: borrow the host's prepared arrays outright
+            self.prepared = self.host.prepared
+            self.xk = self.host.xk
+            self.xi = self.host.xi
+            self.tree = self.host.tree
+            self.ready = True
+            return
+
+        xi = np.asarray(xi, dtype=np.float64)
+        xk = np.asarray(xk, dtype=np.float64)
+        if self.dimension == 1:
+            xi_b = xi.reshape(self.ncases, 1)
+            xk_b = xk.reshape(self.ncases, -1, 1)
+        else:
+            xi_b = xi
+            xk_b = xk
+
+        self.xi = xi
+        self.xk = xk
+        self.tree = None
+
+        self.prepared = _prepare_jit(
+            jnp.asarray(xk_b),
+            jnp.asarray(self.nk),
+            jnp.asarray(xi_b),
+            jnp.asarray(self.order),
+            jnp.asarray(self.knowns),
+            jnp.asarray(self.weighting_method),
+            dimension=self.dimension,
+            NO=self.NO,
+            solver=solve_ops.SOLVER_CHOLESKY,
+            debug=self.debug,
+        )
+        self.ready = True
+
+    def conds(self):
+        """Per-case 2-norm condition numbers of the scaled problem matrices.
+
+        Requires ``debug=True`` and a prior :meth:`prepare`
+        (reference: wlsqm/fitter/expert.pyx:429-464).
+        """
+        if not self.ready:
+            raise RuntimeError(
+                "Solver is not in the ready state; prepare() must be called "
+                "before conds()")
+        if not self.debug:
+            raise RuntimeError(
+                "Not in debug mode; condition number data has not been computed")
+        return np.asarray(self.prepared.cond_scaled)
+
+    def memory_used(self):
+        """Bytes held by the prepared device arrays, as (used, total).
+
+        The reference reports its bump-allocator fill
+        (reference: wlsqm/fitter/expert.pyx:289-306); here the analogous
+        quantity is the footprint of the Prepared pytree in HBM.
+        """
+        if self.prepared is None:
+            return (0, 0)
+        total = sum(
+            leaf.size * leaf.dtype.itemsize
+            for leaf in jax.tree_util.tree_leaves(self.prepared)
+            if hasattr(leaf, "dtype")
+        )
+        return (total, total)
+
+    # -- solve -------------------------------------------------------------
+
+    def solve(self, fk, fi, sens=None):
+        """Fit the model to data ``fk`` using the prepared geometry.
+
+        (reference: wlsqm/fitter/expert.pyx:467-655)
+
+        fk  : (ncases, max(nk)) function values at the neighbor points
+        fi  : (ncases, NO) in/out — knowns in, unknowns filled in place
+        sens: (ncases, max(nk), NO) out if ``do_sens`` was set
+
+        Returns the maximum number of refinement iterations taken (0 for
+        ALGO_BASIC).
+        """
+        if not self.ready:
+            raise RuntimeError(
+                "Solver is not in the ready state; prepare() must be called "
+                "before solve()")
+
+        fk = np.asarray(fk, dtype=np.float64)
+        fi_np = np.asarray(fi, dtype=np.float64)
+        fi_in = jnp.asarray(np.ascontiguousarray(fi_np[:, :self.NO]))
+        fk_j = jnp.asarray(fk)
+
+        if self.algorithm == defs.ALGO_ITERATIVE:
+            fi_out, sens_out, iters = _solve_iter_jit(
+                self.prepared, fk_j, fi_in,
+                max_iter=self.max_iter, do_sens=self.do_sens)
+            max_iters = int(np.asarray(iters).max(initial=0))
+        else:
+            fi_out, sens_out = _solve_jit(
+                self.prepared, fk_j, fi_in, do_sens=self.do_sens)
+            max_iters = 0
+
+        self._fi_internal = fi_out
+        fi[:, :self.NO] = np.asarray(fi_out)
+        if self.do_sens:
+            if sens is None:
+                raise ValueError("do_sens solver requires a sens output array")
+            K = fk.shape[1]
+            sens[:, :K, :self.NO] = np.asarray(sens_out)
+        return max_iters
+
+    # -- global interpolation ---------------------------------------------
+
+    def prep_interpolate(self):
+        """Index the xi points for fast nearest/radius lookups.
+
+        (reference: wlsqm/fitter/expert.pyx:658-681)
+        """
+        if not self.ready:
+            raise RuntimeError(
+                "Solver is not in the ready state; prepare() must be called "
+                "before prep_interpolate()")
+        if self.host is not None:
+            self.tree = self.host.tree
+        else:
+            xi_rank2 = (self.xi if self.dimension >= 2
+                        else np.atleast_2d(self.xi).T)
+            self.tree = scipy.spatial.cKDTree(data=xi_rank2)
+
+    def interpolate(self, x, mode="nearest", r=None, diff=0, I=None):
+        """Interpolate the patched global model (or a derivative) at ``x``.
+
+        (reference: wlsqm/fitter/expert.pyx:687-781)
+
+        mode='nearest':   Voronoi-piecewise — each query uses the local model
+                          whose origin is nearest (jumps across cell borders).
+        mode='continuous': weighted average of all local models with origin
+                          within radius ``r``; weight (1 - sqrt(d²/r²))²
+                          falls to zero at r, giving a continuous patching.
+        I: optional per-query model indices to skip the nearest-model search.
+
+        Returns (out, I_out); I_out is None in 'continuous' mode.
+        """
+        if mode not in ("nearest", "continuous"):
+            raise ValueError(
+                "mode must be one of 'nearest', 'continuous'; got '%s'" % (mode,))
+        if mode == "continuous" and r is None:
+            raise ValueError("r must be specified in mode='continuous'")
+        if diff is None:
+            raise ValueError("diff cannot be None")
+        if self.tree is None:
+            raise RuntimeError(
+                "Points xi have not been indexed; prep_interpolate() must be "
+                "called before interpolate()")
+        if self._fi_internal is None:
+            raise RuntimeError("solve() must be called before interpolate()")
+        if I is not None and len(I) != len(x):
+            raise ValueError(
+                "When 'I' is specified, 'I' must have the same length as x; "
+                "got len(I) = %d, len(x) = %d." % (len(I), len(x)))
+
+        x = np.asarray(x, dtype=np.float64)
+        xq = x.reshape(-1, 1) if self.dimension == 1 else x
+        nx = xq.shape[0]
+        xi_b = (self.xi.reshape(-1, 1) if self.dimension == 1
+                else np.asarray(self.xi))
+
+        if mode == "nearest":
+            if I is None:
+                _, idx = self.tree.query(xq, k=1)
+                idx = np.asarray(idx, dtype=np.int64)
+            else:
+                idx = np.asarray(I, dtype=np.int64)
+            fi_g = self._fi_internal[jnp.asarray(idx)]
+            act_g = self.prepared.active[jnp.asarray(idx)]
+            xi_g = jnp.asarray(xi_b)[jnp.asarray(idx)]
+            out = _eval_models_at_points(
+                fi_g, act_g, xi_g, jnp.asarray(xq),
+                dimension=self.dimension, NO=self.NO, diff=int(diff))
+            return (np.asarray(out), idx)
+
+        # continuous mode: radius query on the host tree, batched eval on device
+        neighbor_lists = self.tree.query_ball_point(xq, r)
+        pair_q = np.concatenate(
+            [np.full(len(lst), m, dtype=np.int64)
+             for m, lst in enumerate(neighbor_lists)]
+        ) if nx else np.zeros(0, np.int64)
+        pair_m = np.concatenate(
+            [np.asarray(lst, dtype=np.int64) for lst in neighbor_lists]
+        ) if nx else np.zeros(0, np.int64)
+
+        out = np.zeros(nx, dtype=np.float64)
+        if pair_q.size:
+            fi_g = self._fi_internal[jnp.asarray(pair_m)]
+            act_g = self.prepared.active[jnp.asarray(pair_m)]
+            xi_g = jnp.asarray(xi_b)[jnp.asarray(pair_m)]
+            xpts = jnp.asarray(xq[pair_q])
+            vals = np.asarray(_eval_models_at_points(
+                fi_g, act_g, xi_g, xpts,
+                dimension=self.dimension, NO=self.NO, diff=int(diff)))
+            d2 = ((xq[pair_q] - np.asarray(xi_b)[pair_m]) ** 2).sum(axis=-1)
+            # alpha = 0 variant of the center weight; falls to 0 at r
+            # (reference: wlsqm/fitter/expert.pyx:40-46,978-980)
+            tmp = 1.0 - np.sqrt(d2 / (r * r))
+            wgt = tmp * tmp
+            num = np.zeros(nx)
+            den = np.zeros(nx)
+            np.add.at(num, pair_q, wgt * vals)
+            np.add.at(den, pair_q, wgt)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = num / den
+        return (out, None)

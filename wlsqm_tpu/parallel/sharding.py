@@ -1,0 +1,132 @@
+"""Multi-chip scaling: data-parallel sharding of the case axis.
+
+The reference's only parallelism is OpenMP threads over independent local
+problems within one process (reference: wlsqm/fitter/simple.pyx prange sites;
+SURVEY §2 parallelism row).  The TPU-native counterpart is pure data
+parallelism: every case's (xk, fk, A, fi) lives on the shard that owns it, the
+fit path needs **zero** inter-chip communication, and scaling out is just
+laying the case axis across a 1-D device mesh.
+
+Two entry points:
+
+* :func:`sharded_fit_many` — ``shard_map`` of the batched engine over the
+  case axis: guaranteed-local execution, no collectives in the compiled
+  program.  This is the throughput path for large clouds.
+* :func:`distribute` — lay existing arrays onto the mesh with
+  ``NamedSharding`` and let GSPMD propagate (useful when composing with a
+  larger jitted program, e.g. an IBVP time-stepping loop that also does
+  global reductions).
+
+Cross-shard communication appears only in *global* operations built on top:
+gathering neighborhoods from a distributed cloud and evaluating the patched
+global model near shard boundaries (an all-gather of the small coefficient
+arrays, see :func:`replicated_coefficients`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wlsqm_tpu.fitter import defs, engine
+from wlsqm_tpu.ops import solve as solve_ops
+
+CASE_AXIS = "cases"
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = CASE_AXIS) -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` available devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (axis_name,))
+
+
+def distribute(mesh: Mesh, *arrays, axis_name: str = CASE_AXIS):
+    """Place arrays on the mesh, sharded along their leading (case) axis."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out if len(out) != 1 else out[0]
+
+
+def pad_cases(n: int, n_shards: int) -> int:
+    """Smallest padded case count divisible by the shard count."""
+    return ((n + n_shards - 1) // n_shards) * n_shards
+
+
+def sharded_fit_many(
+    mesh: Mesh,
+    xk,
+    fk,
+    nk,
+    xi,
+    fi,
+    order,
+    knowns,
+    weighting,
+    *,
+    dimension: int,
+    NO: int,
+    do_sens: bool = False,
+    iterative: bool = False,
+    max_iter: int = 10,
+    solver: str = solve_ops.SOLVER_CHOLESKY,
+    axis_name: str = CASE_AXIS,
+):
+    """Fit a batch of cases sharded across the mesh's case axis.
+
+    All case-indexed inputs must have a leading axis divisible by the mesh
+    size (use :func:`pad_cases` + zero/eye padding rows; padded cases are
+    harmless — they solve tiny identity systems).  Returns
+    (fi_out, sens, iterations, cond_scaled) with the same sharding.
+
+    The body is exactly the single-device engine; ``shard_map`` guarantees
+    the compiled program contains no cross-chip collectives (the parallel ≡
+    serial equivalence test of the reference becomes "sharded ≡ single
+    device" here).
+    """
+
+    def local_fit(xk, fk, nk, xi, fi, order, knowns, weighting):
+        return engine.fit_batch(
+            xk, fk, nk, xi, fi, order, knowns, weighting,
+            dimension=dimension, NO=NO, do_sens=do_sens,
+            iterative=iterative, max_iter=max_iter, solver=solver,
+        )
+
+    spec = P(axis_name)
+    fn = jax.shard_map(
+        local_fit,
+        mesh=mesh,
+        in_specs=(spec,) * 8,
+        out_specs=(spec, spec, spec, spec),
+    )
+    return jax.jit(fn)(
+        jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(nk), jnp.asarray(xi),
+        jnp.asarray(fi), jnp.asarray(order), jnp.asarray(knowns),
+        jnp.asarray(weighting),
+    )
+
+
+def replicated_coefficients(mesh: Mesh, fi, axis_name: str = CASE_AXIS):
+    """All-gather the (small) solved coefficient arrays to every device.
+
+    Global interpolation of the patched model may read local models owned by
+    other shards (reference analogue: the kNN/radius patching in
+    wlsqm/fitter/expert.pyx:830-986).  Coefficients are tiny (NO ≤ 35
+    doubles per case), so a full replication over ICI is the simple, fast
+    layout for the query side.
+    """
+    def gather(x):
+        return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+    # check_vma off: the all_gather output is replicated by construction, but
+    # the static varying-axes checker cannot infer that through tiled=True
+    fn = jax.shard_map(
+        gather, mesh=mesh, in_specs=P(axis_name), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(jnp.asarray(fi))

@@ -1,0 +1,81 @@
+"""Precision modes: mixed and fast must agree with the f64 reference path.
+
+On TPU, native f64 is software-emulated and slow; "mixed" keeps the f64
+assembly but factors in f32 with f64-residual refinement, and "fast" runs
+assembly/Ruiz/Cholesky all in f32, recovering f64-class accuracy by
+refinement through the f64 basis rows.  Both must match the all-f64 path to
+well inside the 1e-10 parity bar.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import wlsqm_tpu as wt
+from wlsqm_tpu.fitter import defs, engine
+
+
+def _args(rng, B=64, K=30, order=4, NO=15):
+    xk = jnp.asarray(rng.uniform(-1, 1, (B, K, 2)))
+    fk = jnp.asarray(rng.standard_normal((B, K)))
+    return (
+        xk, fk,
+        jnp.full((B,), K, jnp.int32),
+        jnp.zeros((B, 2)),
+        jnp.zeros((B, NO)),
+        jnp.full((B,), order, jnp.int32),
+        jnp.zeros((B,), jnp.int64),
+        jnp.full((B,), defs.WEIGHT_CENTER, jnp.int32),
+    )
+
+
+@pytest.mark.parametrize("precision", ["mixed", "fast"])
+def test_matches_f64_order4(rng, precision):
+    args = _args(rng)
+    fi64, _, _, _ = engine.fit_batch(*args, dimension=2, NO=15)
+    fip, _, _, _ = engine.fit_batch(
+        *args, dimension=2, NO=15, precision=precision, ruiz_max_iter=10)
+    a, b = np.asarray(fi64), np.asarray(fip)
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 1e-10, f"{precision} deviates from f64 by {rel:.2e}"
+
+
+@pytest.mark.parametrize("precision", ["mixed", "fast"])
+def test_polynomial_recovery(rng, precision):
+    def f(xy):
+        x, y = xy[..., 0], xy[..., 1]
+        return 1.0 + 2.0 * x + 3.0 * y + 4.0 * x * y + 5.0 * x**2 + 6.0 * y**2
+    xk = rng.uniform(-1, 1, (16, 30, 2))
+    res = wt.fit_many(xk, f(xk), order=2, precision=precision,
+                      ruiz_max_iter=10)
+    np.testing.assert_allclose(
+        np.asarray(res.fi), np.tile([1., 2, 3, 10, 4, 12], (16, 1)),
+        atol=1e-10)
+
+
+@pytest.mark.parametrize("precision", ["mixed", "fast"])
+def test_sensitivity_and_knowns(rng, precision):
+    args = list(_args(rng, B=8, order=2, NO=6))
+    args[6] = jnp.full((8,), defs.b2_F, jnp.int64)  # F known
+    fi64, s64, _, _ = engine.fit_batch(
+        *args, dimension=2, NO=6, do_sens=True)
+    fip, sp, _, _ = engine.fit_batch(
+        *args, dimension=2, NO=6, do_sens=True,
+        precision=precision, ruiz_max_iter=10)
+    np.testing.assert_allclose(np.asarray(fip), np.asarray(fi64), atol=1e-10)
+    # NaN pattern identical; finite parts agree
+    assert np.array_equal(np.isnan(np.asarray(sp)), np.isnan(np.asarray(s64)))
+    m = ~np.isnan(np.asarray(s64))
+    np.testing.assert_allclose(
+        np.asarray(sp)[m], np.asarray(s64)[m], atol=1e-9)
+
+
+@pytest.mark.parametrize("precision", ["mixed", "fast"])
+def test_iterative_refinement_mode(rng, precision):
+    args = _args(rng, B=8, order=3, NO=10)
+    fi64, _, _, _ = engine.fit_batch(
+        *args, dimension=2, NO=10, iterative=True, max_iter=5)
+    fip, _, _, _ = engine.fit_batch(
+        *args, dimension=2, NO=10, iterative=True, max_iter=5,
+        precision=precision, ruiz_max_iter=10)
+    np.testing.assert_allclose(np.asarray(fip), np.asarray(fi64), atol=1e-10)

@@ -94,6 +94,10 @@ def fit_many(
     max_iter: int = 10,
     max_order: int | None = None,
     debug: bool = False,
+    precision: str = engine.PRECISION_F64,
+    ruiz_max_iter: int = 100,
+    scaling: str = "ruiz",
+    solver: str = solve_ops.SOLVER_CHOLESKY,
 ) -> FitResult:
     """Fit a batch of local surrogate models (JAX-native).
 
@@ -103,6 +107,10 @@ def fit_many(
     nk: (B,) valid neighbor counts; defaults to K for every case
     order / knowns / weighting: scalars or (B,) arrays (scalars broadcast)
     fi_init: (B, NO) initial DOF array carrying the known values; zeros if None
+    precision: "f64" (reference-exact), "mixed" or "fast" — see
+        :mod:`wlsqm_tpu.fitter.engine`; the non-f64 modes keep ~1e-12
+        agreement with the f64 path while avoiding slow emulated-f64
+        factorization on TPU.
 
     Returns a :class:`FitResult`.  This function is jit-compiled; wrap it in
     ``shard_map`` over the case axis for multi-chip execution (see
@@ -126,6 +134,8 @@ def fit_many(
         xk, fk, nk, xi, fi0, order_a, knowns_a, weighting_a,
         dimension=dim, NO=NO, do_sens=do_sens, iterative=iterative,
         max_iter=max_iter, debug=debug,
+        precision=precision, ruiz_max_iter=ruiz_max_iter,
+        scaling=scaling, solver=solver,
     )
     return FitResult(
         fi=fi,
@@ -173,6 +183,9 @@ def prepare(
     max_order: int | None = None,
     solver: str = solve_ops.SOLVER_CHOLESKY,
     debug: bool = False,
+    precision: str = engine.PRECISION_F64,
+    ruiz_max_iter: int = 100,
+    scaling: str = "ruiz",
 ) -> engine.Prepared:
     """Prepare geometry for repeated solves (JAX-native expert mode).
 
@@ -192,10 +205,12 @@ def prepare(
     NO = defs.number_of_dofs(dim, max_order)
     return partial(
         jax.jit,
-        static_argnames=("dimension", "NO", "solver", "debug"),
+        static_argnames=("dimension", "NO", "solver", "debug",
+                     "ruiz_max_iter", "ruiz_eps", "precision", "scaling"),
     )(engine.prepare)(
         xk, nk, xi, order_a, knowns_a, weighting_a,
         dimension=dim, NO=NO, solver=solver, debug=debug,
+        precision=precision, ruiz_max_iter=ruiz_max_iter, scaling=scaling,
     )
 
 

@@ -51,6 +51,27 @@ from wlsqm_tpu.ops import solve as solve_ops
 WEIGHT_ALPHA = 1e-4
 WEIGHT_BETA = 1.0 - WEIGHT_ALPHA
 
+# Mixed-precision mode: number of f64-residual refinement sweeps applied on
+# top of the f32 factorization.  After Ruiz equilibration the scaled normal
+# matrix is well conditioned (cond ~ 1e2..1e5 even for order-4 fits), so each
+# sweep contracts the error by ~cond * eps_f32; three sweeps reach f64-class
+# accuracy while keeping the O(n^3) factorization and O(n^2) substitutions in
+# fast native f32.
+MIXED_REFINE_STEPS = 3
+
+# Fast mode: EVERYTHING O(n^2)/O(n^3) per case runs in native f32 (assembly
+# einsum on the MXU, Ruiz, Cholesky, substitutions); f64 appears only in the
+# O(K·NO) pieces: the basis rows, the RHS contraction, and the residual
+# matvecs of the refinement loop, which iterates the f32 solver to the TRUE
+# f64 normal-equations fixed point.  The refinement contraction factor is
+# ~cond(scaled A) * eps_f32, so more steps are needed than in mixed mode.
+FAST_REFINE_STEPS = 6
+
+PRECISION_F64 = "f64"      # factor/solve in the input dtype (reference-exact path)
+PRECISION_MIXED = "mixed"  # f64 assembly, f32 factor/solve + f64 refinement
+PRECISION_FAST = "fast"    # f32 assembly+factor/solve, f64 refinement through C
+PRECISION_DS = "ds"        # double-single f32 pairs everywhere; no bulk f64 (TPU fast path)
+
 
 # -----------------------------------------------------------------------------
 # Basis construction
@@ -130,8 +151,11 @@ def neighbor_weights(d2: jax.Array, kmask: jax.Array, weighting: jax.Array) -> j
     jax.tree_util.register_dataclass,
     data_fields=(
         "c",
+        "c_lo",
         "w",
+        "w_lo",
         "fac",
+        "A_scaled",
         "row_scale",
         "col_scale",
         "active",
@@ -142,7 +166,7 @@ def neighbor_weights(d2: jax.Array, kmask: jax.Array, weighting: jax.Array) -> j
         "cond_scaled",
         "ruiz_iters",
     ),
-    meta_fields=("dimension", "solver"),
+    meta_fields=("dimension", "solver", "precision"),
 )
 @dataclasses.dataclass(frozen=True)
 class Prepared:
@@ -153,9 +177,12 @@ class Prepared:
     solving against it is a pure function of (Prepared, fk, fi).
     """
 
-    c: jax.Array            # (B, K, NO) baked basis rows
-    w: jax.Array            # (B, K) weights; 0 for padded neighbors
+    c: jax.Array            # (B, K, NO) baked basis rows (ds mode: hi part)
+    c_lo: jax.Array | None  # ds mode: lo part of the basis rows
+    w: jax.Array            # (B, K) weights; 0 for padded neighbors (ds: hi)
+    w_lo: jax.Array | None  # ds mode: lo part of the weights
     fac: tuple              # factorization of the scaled masked normal matrix
+    A_scaled: jax.Array | None  # scaled matrix kept for mixed-precision refinement
     row_scale: jax.Array    # (B, NO)
     col_scale: jax.Array    # (B, NO)
     active: jax.Array       # (B, NO) bool
@@ -167,6 +194,7 @@ class Prepared:
     ruiz_iters: jax.Array   # (B,) equilibration sweeps taken
     dimension: int
     solver: str
+    precision: str
 
     @property
     def ncases(self) -> int:
@@ -193,14 +221,43 @@ def prepare(
     NO: int,
     solver: str = solve_ops.SOLVER_CHOLESKY,
     debug: bool = False,
+    ruiz_max_iter: int = ruiz_ops.RUIZ_MAX_ITER,
+    ruiz_eps: float = ruiz_ops.RUIZ_EPS,
+    precision: str = PRECISION_F64,
+    scaling: str = "ruiz",
 ) -> Prepared:
     """Build + precondition + factor the normal matrices for a batch of cases.
 
     Fuses the reference's make_c → make_A → preprocess_A pipeline
     (reference: wlsqm/fitter/impl.pyx:47-689) into one batched program.
+
+    ``ruiz_max_iter`` / ``ruiz_eps``: equilibration loop controls.  The
+    reference iterates to 1e-15 (≤ 100 sweeps); under TPU-emulated f64 the
+    1e-15 test may never trigger, and because any diagonal scaling is exact
+    algebra, truncating the loop changes only the conditioning quality, not
+    the semantics — ~10 sweeps is fully converged in practice.
+
+    ``precision``: PRECISION_F64 runs factor/solve in the input dtype
+    (reference-exact); PRECISION_MIXED factors in f32 and recovers f64-class
+    accuracy via f64-residual refinement at solve time (the TPU fast path —
+    on TPU, native-f64 is software-emulated and ~30x slower).
     """
     dtype = xk.dtype
     B, K, _ = xk.shape
+
+    if precision == PRECISION_DS:
+        from wlsqm_tpu.fitter import engine_ds
+
+        parts = engine_ds.prepare_ds(
+            xk, nk, xi, order, knowns, weighting,
+            dimension=dimension, NO=NO, solver=solver, debug=debug,
+            ruiz_max_iter=ruiz_max_iter, scaling=scaling,
+            dof_masks_fn=dof_masks,
+        )
+        return Prepared(
+            A_scaled=None, xi=xi, dimension=dimension, solver=solver,
+            precision=precision, **parts,
+        )
 
     kmask = jnp.arange(K, dtype=nk.dtype)[None, :] < nk[:, None]
     delta = xk - xi[:, None, :]                       # (B, K, dim)
@@ -216,29 +273,55 @@ def prepare(
 
     # A[j,m] = sum_k w_k c[k,j] c[k,m] over unknown DOFs; identity elsewhere
     # (reference: wlsqm/fitter/impl.pyx:566-602 make_A). The contraction runs
-    # on the MXU as a batched matmul.
-    cw = c * w[..., None]
-    A_full = jnp.einsum("bkj,bkm->bjm", cw, c, preferred_element_type=dtype)
+    # on the MXU as a batched matmul.  In FAST mode the whole O(n^2)/O(n^3)
+    # chain (assembly, Ruiz, factorization) runs in native f32; f64 accuracy
+    # is recovered at solve time by refinement through the f64 basis rows.
+    asm_dtype = jnp.float32 if precision == PRECISION_FAST else dtype
+    c_a = c.astype(asm_dtype)
+    w_a = w.astype(asm_dtype)
+    cw = c_a * w_a[..., None]
+    A_full = jnp.einsum("bkj,bkm->bjm", cw, c_a, preferred_element_type=asm_dtype)
     unk2 = jnp.logical_and(unknown[:, :, None], unknown[:, None, :])
-    eye = jnp.eye(NO, dtype=dtype)
+    eye = jnp.eye(NO, dtype=asm_dtype)
     A = jnp.where(unk2, A_full, 0.0) + jnp.where(unknown, 0.0, 1.0)[:, :, None] * eye
 
-    row_scale, col_scale, ruiz_iters = ruiz_ops.ruiz_scale(A)
+    if precision == PRECISION_FAST:
+        # an f32 iteration can never satisfy the f64-grade 1e-15 test
+        ruiz_eps = max(ruiz_eps, 1e-6)
+    if scaling == "jacobi":
+        row_scale, col_scale, ruiz_iters = ruiz_ops.jacobi_scale(A)
+    else:
+        row_scale, col_scale, ruiz_iters = ruiz_ops.ruiz_scale(
+            A, max_iter=ruiz_max_iter, eps=ruiz_eps
+        )
     A_scaled = ruiz_ops.apply_scaling(A, row_scale, col_scale)
 
     if debug:
-        cond_orig = solve_ops.cond_2norm(A)
-        cond_scaled = solve_ops.cond_2norm(A_scaled)
+        cond_orig = solve_ops.cond_2norm(A.astype(dtype))
+        cond_scaled = solve_ops.cond_2norm(A_scaled.astype(dtype))
     else:
         cond_orig = jnp.full((B,), jnp.nan, dtype)
         cond_scaled = jnp.full((B,), jnp.nan, dtype)
 
-    fac = solve_ops.factor(A_scaled, solver)
+    if precision == PRECISION_MIXED:
+        fac = solve_ops.factor(A_scaled.astype(jnp.float32), solver)
+        A_keep = A_scaled
+    elif precision == PRECISION_FAST:
+        fac = solve_ops.factor(A_scaled, solver)  # already f32
+        A_keep = None
+    else:
+        fac = solve_ops.factor(A_scaled, solver)
+        A_keep = None
+    row_scale = row_scale.astype(dtype)
+    col_scale = col_scale.astype(dtype)
 
     return Prepared(
         c=c,
+        c_lo=None,
         w=w,
+        w_lo=None,
         fac=fac,
+        A_scaled=A_keep,
         row_scale=row_scale,
         col_scale=col_scale,
         active=active,
@@ -250,6 +333,7 @@ def prepare(
         ruiz_iters=ruiz_iters,
         dimension=dimension,
         solver=solver,
+        precision=precision,
     )
 
 
@@ -264,6 +348,56 @@ def _rhs(prep: Prepared, resid: jax.Array) -> jax.Array:
     return jnp.where(prep.unknown, b * prep.row_scale, 0.0)
 
 
+def _matvec_scaled(prep: Prepared, x: jax.Array) -> jax.Array:
+    """A_scaled @ x computed in f64 through the basis rows (no stored A).
+
+    A_scaled = diag(rs)·(CᵀWC masked to unknowns)·diag(cs) + I on the rest;
+    two O(K·NO) einsums per RHS instead of an O(NO²) matmul, and in f64 even
+    when the stored factorization is f32 (PRECISION_FAST refinement).
+    x: (B, NO, m).
+    """
+    xs = jnp.where(prep.unknown[..., :, None], x * prep.col_scale[..., :, None], 0.0)
+    t = jnp.einsum("bkj,bjm->bkm", prep.c, xs)
+    t = t * prep.w[..., :, None]
+    y = jnp.einsum("bkj,bkm->bjm", prep.c, t)
+    y = y * prep.row_scale[..., :, None]
+    return jnp.where(prep.unknown[..., :, None], y, x)
+
+
+def _solve_scaled(prep: Prepared, b: jax.Array) -> jax.Array:
+    """Solve A_scaled X = b through the prepared factorization.
+
+    b: (..., n, m) multi-RHS.
+
+    * PRECISION_F64: direct back-substitution in the input dtype.
+    * PRECISION_MIXED: f32 factorization + MIXED_REFINE_STEPS rounds of
+      f64-residual refinement against the stored f64 scaled matrix.
+    * PRECISION_FAST: f32 factorization + FAST_REFINE_STEPS rounds of
+      f64-residual refinement with the matrix applied through the f64 basis
+      rows (:func:`_matvec_scaled`) — converges to the true f64
+      normal-equations solution without ever materializing a f64 matrix.
+    """
+    if prep.precision == PRECISION_F64:
+        return solve_ops.solve_factored(prep.fac, b, prep.solver)
+    dtype = b.dtype
+    x = solve_ops.solve_factored(
+        prep.fac, b.astype(jnp.float32), prep.solver
+    ).astype(dtype)
+    if prep.precision == PRECISION_MIXED:
+        for _ in range(MIXED_REFINE_STEPS):
+            r = b - prep.A_scaled @ x
+            x = x + solve_ops.solve_factored(
+                prep.fac, r.astype(jnp.float32), prep.solver
+            ).astype(dtype)
+    else:  # PRECISION_FAST
+        for _ in range(FAST_REFINE_STEPS):
+            r = b - _matvec_scaled(prep, x)
+            x = x + solve_ops.solve_factored(
+                prep.fac, r.astype(jnp.float32), prep.solver
+            ).astype(dtype)
+    return x
+
+
 def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool = False):
     """Fit the model against data ``fk`` using prepared geometry.
 
@@ -276,6 +410,10 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
     (reference: wlsqm/fitter/impl.pyx:768-846).  ``sens`` is None when
     ``do_sens`` is False.
     """
+    if prep.precision == PRECISION_DS:
+        from wlsqm_tpu.fitter import engine_ds
+
+        return engine_ds.solve_prepared_ds(prep, fk, fi, do_sens)
     dtype = fk.dtype
     known_vals = jnp.where(prep.known, fi, 0.0)
     model_known = jnp.einsum(
@@ -284,7 +422,7 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
     # mask padded-neighbor slots (w == 0) so non-finite fk padding is inert
     resid = jnp.where(prep.w > 0, fk - model_known, 0.0)
     b = _rhs(prep, resid)
-    x = solve_ops.solve_factored(prep.fac, b[..., None], prep.solver)[..., 0]
+    x = _solve_scaled(prep, b[..., None])[..., 0]
     fi_out = jnp.where(prep.unknown, x * prep.col_scale, fi)
 
     sens = None
@@ -292,7 +430,7 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
         # all-nk multi-RHS triangular solves in one shot
         S = (prep.c * prep.w[..., None]).swapaxes(-1, -2)       # (B, NO, K)
         S = jnp.where(prep.unknown[..., None], S * prep.row_scale[..., None], 0.0)
-        X = solve_ops.solve_factored(prep.fac, S, prep.solver)   # (B, NO, K)
+        X = _solve_scaled(prep, S)                               # (B, NO, K)
         sens = X.swapaxes(-1, -2) * prep.col_scale[..., None, :]  # (B, K, NO)
         sens = jnp.where(prep.unknown[..., None, :], sens, 0.0)
         sens = jnp.where(prep.known[..., None, :], jnp.nan, sens)
@@ -317,9 +455,13 @@ def solve_iterative_prepared(
 
     Returns (fi_out, sens, iterations) with per-case iteration counts.
     """
+    if prep.precision == PRECISION_DS:
+        from wlsqm_tpu.fitter import engine_ds
+
+        return engine_ds.solve_iterative_prepared_ds(
+            prep, fk, fi, max_iter, do_sens)
     fi1, sens = solve_prepared(prep, fk, fi, do_sens)
     dtype = fk.dtype
-    B = fk.shape[0]
     kmask = prep.w > 0
 
     def cond(state):
@@ -336,7 +478,7 @@ def solve_iterative_prepared(
         done_now = jnp.logical_or(done, norm == prev_norm)
 
         b = _rhs(prep, resid)
-        dx = solve_ops.solve_factored(prep.fac, b[..., None], prep.solver)[..., 0]
+        dx = _solve_scaled(prep, b[..., None])[..., 0]
         fi_new = jnp.where(prep.unknown, fi_cur + dx * prep.col_scale, fi_cur)
         fi_next = jnp.where(done_now[:, None], fi_cur, fi_new)
         iters = iters + jnp.logical_not(done_now).astype(jnp.int32)
@@ -369,6 +511,10 @@ def solve_iterative_prepared(
         "max_iter",
         "solver",
         "debug",
+        "ruiz_max_iter",
+        "ruiz_eps",
+        "precision",
+        "scaling",
     ),
 )
 def fit_batch(
@@ -388,6 +534,10 @@ def fit_batch(
     max_iter: int = 10,
     solver: str = solve_ops.SOLVER_CHOLESKY,
     debug: bool = False,
+    ruiz_max_iter: int = ruiz_ops.RUIZ_MAX_ITER,
+    ruiz_eps: float = ruiz_ops.RUIZ_EPS,
+    precision: str = PRECISION_F64,
+    scaling: str = "ruiz",
 ):
     """Fit a batch of local models end to end.
 
@@ -395,11 +545,13 @@ def fit_batch(
     compiled equivalent of the reference's
     ``generic_fit_{basic,iterative}_many_parallel`` call stacks
     (reference: wlsqm/fitter/simple.pyx:953-1171) — the OpenMP prange becomes
-    the batch axis.
+    the batch axis.  See :func:`prepare` for ``ruiz_*`` and ``precision``.
     """
     prep = prepare(
         xk, nk, xi, order, knowns, weighting,
         dimension=dimension, NO=NO, solver=solver, debug=debug,
+        ruiz_max_iter=ruiz_max_iter, ruiz_eps=ruiz_eps, precision=precision,
+        scaling=scaling,
     )
     if iterative:
         fi_out, sens, iters = solve_iterative_prepared(

@@ -42,7 +42,8 @@ number_of_dofs = defs.number_of_dofs
 
 _prepare_jit = partial(
     jax.jit,
-    static_argnames=("dimension", "NO", "solver", "debug"),
+    static_argnames=("dimension", "NO", "solver", "debug",
+                     "ruiz_max_iter", "ruiz_eps", "precision", "scaling"),
 )(engine.prepare)
 
 _solve_jit = jax.jit(engine.solve_prepared, static_argnames=("do_sens",))

@@ -96,3 +96,21 @@ def ruiz_scale(A: jax.Array, max_iter: int = RUIZ_MAX_ITER, eps: float = RUIZ_EP
 def apply_scaling(A: jax.Array, row_scale: jax.Array, col_scale: jax.Array) -> jax.Array:
     """Scale A in the reference's convention (multiply by the factors)."""
     return row_scale[..., :, None] * A * col_scale[..., None, :]
+
+
+def jacobi_scale(A: jax.Array):
+    """One-pass symmetric Jacobi scaling: D = 1/sqrt(diag(A)).
+
+    For SPD matrices Jacobi scaling is within a factor n of the optimal
+    symmetric diagonal scaling (van der Sluis 1969), and it needs no
+    iteration — a single elementwise pass instead of Ruiz's l∞ sweeps.  Used
+    by the TPU fast path, where the scaling only preconditions the f32
+    factorization and any residual conditioning slack is absorbed by the
+    f64 refinement loop.
+
+    Returns (row_scale, col_scale, iterations) like :func:`ruiz_scale`.
+    """
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jnp.where(d > 0, 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0)), 1.0)
+    iters = jnp.ones_like(s[..., 0], dtype=jnp.int32)
+    return s, s, iters

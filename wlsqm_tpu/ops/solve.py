@@ -22,10 +22,21 @@ from jax import lax
 
 SOLVER_CHOLESKY = "chol"
 SOLVER_LU = "lu"
+SOLVER_CHOLESKY_UNROLLED = "chol_unrolled"
+
+# Above this size, unrolling the factorization at trace time stops paying off
+# (graph size ~ n^3/6 ops); WLSQM never exceeds n = 35.
+_UNROLL_MAX_N = 40
 
 
 def factor(A: jax.Array, solver: str = SOLVER_CHOLESKY):
     """Factor a batch of square matrices. Returns an opaque factorization."""
+    if solver == SOLVER_CHOLESKY_UNROLLED:
+        from wlsqm_tpu.ops import smallchol
+
+        if A.shape[-1] <= _UNROLL_MAX_N:
+            return (smallchol.cholesky_factor(A),)
+        solver = SOLVER_CHOLESKY  # fall back for out-of-range sizes
     if solver == SOLVER_CHOLESKY:
         return (jnp.linalg.cholesky(A),)
     elif solver == SOLVER_LU:
@@ -40,6 +51,13 @@ def solve_factored(fac, b: jax.Array, solver: str = SOLVER_CHOLESKY) -> jax.Arra
     b: (..., n, m) multi-RHS (the sensitivity path solves all nk RHS at once,
     improving on the reference's per-k loop, reference: wlsqm/fitter/impl.pyx:831-834).
     """
+    if solver == SOLVER_CHOLESKY_UNROLLED:
+        from wlsqm_tpu.ops import smallchol
+
+        (L,) = fac
+        if isinstance(L, tuple):
+            return smallchol.cholesky_solve(L, b)
+        solver = SOLVER_CHOLESKY  # fell back at factor time
     if solver == SOLVER_CHOLESKY:
         (L,) = fac
         y = lax.linalg.triangular_solve(L, b, left_side=True, lower=True)

@@ -1,0 +1,174 @@
+"""Double-single ("two-float") arithmetic on f32 pairs.
+
+TPU v5e has no native f64; XLA emulates it in software at a large multiple of
+f32 cost.  For the places where the WLSQM pipeline genuinely needs ~1e-14
+effective precision — the basis rows, weights, RHS contraction, and the
+residual matvecs of the fast path's refinement loop — this module provides
+error-free-transformation arithmetic on (hi, lo) float32 pairs, giving ≈ 48
+significant bits at a handful of native f32 VPU flops per operation.
+
+Robustness note: classic Dekker splitting relies on exact rounding of
+separate mul/add ops and silently breaks if the compiler contracts them into
+FMAs (this environment compiles with ``--xla_allow_excess_precision``).  The
+splits here therefore use mantissa *bit masking* via bitcast, which no
+contraction can alter; the remaining building block, two_sum, uses only
+additions, which XLA does not reassociate.
+
+Values are represented as a (hi, lo) tuple of equally-shaped f32 arrays with
+``value = hi + lo`` and ``|lo| <= ulp(hi)/2``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "from_f64", "to_f64", "from_f32",
+    "two_sum", "quick_two_sum", "two_prod",
+    "add", "sub", "mul", "mul_f32", "add_f32", "neg", "div", "sqrt",
+    "sum_along", "dot",
+]
+
+_HI_MASK = jnp.uint32(0xFFFFF000)  # keep top 11 explicit mantissa bits
+
+
+def from_f64(x):
+    """Split a float64 array into an (hi, lo) f32 pair (~49-bit fidelity)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def from_f32(x):
+    """Lift an f32 array into the pair representation (exact)."""
+    return x, jnp.zeros_like(x)
+
+
+def to_f64(d):
+    hi, lo = d
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _split_mask(a):
+    """Exact split a = h + l with h carrying <= 12 mantissa bits.
+
+    Bit masking keeps the split exact regardless of FMA contraction.
+    """
+    h = lax.bitcast_convert_type(
+        lax.bitcast_convert_type(a, jnp.uint32) & _HI_MASK, jnp.float32
+    )
+    return h, a - h
+
+
+def two_sum(a, b):
+    """Exact addition: s + e == a + b with s = fl(a+b). 6 flops, adds only.
+
+    The rounded sum is wrapped in an optimization barrier: under jit, XLA's
+    algebraic simplifier would otherwise cancel the error-recovery terms
+    (e.g. rewrite ``s - a`` to ``b``), silently degrading the pair back to
+    plain f32.
+    """
+    s = lax.optimization_barrier(a + b)
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """two_sum for |a| >= |b| (3 flops). Barrier rationale as in two_sum."""
+    s = lax.optimization_barrier(a + b)
+    e = b - (s - a)
+    return s, e
+
+
+def two_prod(a, b):
+    """Exact product: p + e == a*b with p = fl(a*b), via masked splits.
+
+    Barrier rationale as in two_sum (prevents ``ah*bh - p`` style folding).
+    """
+    p = lax.optimization_barrier(a * b)
+    ah, al = _split_mask(a)
+    bh, bl = _split_mask(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def add(x, y):
+    """Pair + pair."""
+    s, e = two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    return quick_two_sum(s, e)
+
+
+def neg(x):
+    return -x[0], -x[1]
+
+
+def sub(x, y):
+    return add(x, neg(y))
+
+
+def add_f32(x, a):
+    """Pair + plain f32."""
+    s, e = two_sum(x[0], a)
+    e = e + x[1]
+    return quick_two_sum(s, e)
+
+
+def mul(x, y):
+    """Pair * pair."""
+    p, e = two_prod(x[0], y[0])
+    e = e + (x[0] * y[1] + x[1] * y[0])
+    return quick_two_sum(p, e)
+
+
+def mul_f32(x, a):
+    """Pair * plain f32."""
+    p, e = two_prod(x[0], a)
+    e = e + x[1] * a
+    return quick_two_sum(p, e)
+
+
+def div(x, y):
+    """Pair / pair via one Newton correction (~eps32^2 relative error)."""
+    q0 = x[0] / y[0]
+    e = sub(x, mul(y, from_f32(q0)))
+    q1 = e[0] / y[0]
+    return quick_two_sum(q0, q1)
+
+
+def sqrt(x):
+    """Pair sqrt via one Newton correction on the f32 estimate."""
+    s = jnp.sqrt(x[0])
+    safe = jnp.where(s > 0, s, 1.0)
+    e = sub(x, mul(from_f32(s), from_f32(s)))
+    corr = jnp.where(s > 0, e[0] * (0.5 / safe), 0.0)
+    return quick_two_sum(s, corr)
+
+
+def sum_along(x, axis):
+    """Sum a pair array along an axis with a pairwise (tree) ds-reduction."""
+    hi, lo = x
+    n = hi.shape[axis]
+    hi = jnp.moveaxis(hi, axis, 0)
+    lo = jnp.moveaxis(lo, axis, 0)
+    while n > 1:
+        half = n // 2
+        a = (hi[:half], lo[:half])
+        b = (hi[half:2 * half], lo[half:2 * half])
+        s = add(a, b)
+        if n % 2:
+            hi = jnp.concatenate([s[0], hi[2 * half:]], axis=0)
+            lo = jnp.concatenate([s[1], lo[2 * half:]], axis=0)
+            n = half + 1
+        else:
+            hi, lo = s
+            n = half
+    return hi[0], lo[0]
+
+
+def dot(x, y, axis):
+    """ds dot product along ``axis`` of two pair arrays."""
+    return sum_along(mul(x, y), axis)

@@ -23,6 +23,15 @@ _X64_WANTED = os.environ.get("WLSQM_TPU_NO_X64", "0") != "1"
 if _X64_WANTED:
     jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 contractions default to single-pass bf16 on the MXU (~8
+# mantissa bits) — catastrophic for normal-matrix assembly.  The critical
+# einsums pass precision=HIGHEST explicitly; this global default protects
+# the remaining contractions (evaluation, kNN) as well.  Opt out with
+# WLSQM_TPU_DEFAULT_MATMUL_PRECISION=default.
+_MM_PREC = os.environ.get("WLSQM_TPU_DEFAULT_MATMUL_PRECISION", "highest")
+if _MM_PREC != "default":
+    jax.config.update("jax_default_matmul_precision", _MM_PREC)
+
 
 def default_dtype():
     """The default floating dtype for fitting (float64 unless x64 disabled)."""

@@ -123,6 +123,23 @@ def dof_masks(order: jax.Array, knowns: jax.Array, dimension: int, NO: int):
     return active, known, unknown
 
 
+def radius_pow2_scale(d2: jax.Array, kmask: jax.Array):
+    """Per-case power-of-two neighborhood radius scale.
+
+    Returns (inv_s, e) with s = 2**e >= max|delta| (approximately) and
+    inv_s = 2**-e exactly representable.  Scaling the offsets by inv_s before
+    building the monomial basis keeps all basis columns O(1), which is what
+    makes f32 assembly of order-4 systems viable on small neighborhoods —
+    the raw basis spans h^0..h^4 and its Gram matrix h^0..h^8, far beyond
+    f32's dynamic usefulness.  Being an exact power of two, the scaling is
+    exactly invertible: the solved DOFs transform by s**degree.
+    """
+    d2m = jnp.where(kmask, d2, 0.0)
+    h2 = d2m.max(axis=-1)
+    e = jnp.ceil(0.5 * jnp.log2(jnp.where(h2 > 0, h2, 1.0)))
+    return jnp.exp2(-e), e
+
+
 def neighbor_weights(d2: jax.Array, kmask: jax.Array, weighting: jax.Array) -> jax.Array:
     """Fitting weights from squared distances.
 
@@ -156,6 +173,7 @@ def neighbor_weights(d2: jax.Array, kmask: jax.Array, weighting: jax.Array) -> j
         "w_lo",
         "fac",
         "A_scaled",
+        "dof_scale",
         "row_scale",
         "col_scale",
         "active",
@@ -183,6 +201,7 @@ class Prepared:
     w_lo: jax.Array | None  # ds mode: lo part of the weights
     fac: tuple              # factorization of the scaled masked normal matrix
     A_scaled: jax.Array | None  # scaled matrix kept for mixed-precision refinement
+    dof_scale: jax.Array | None  # (B, NO) f64 DOF de-scaling s**-deg (fast/ds modes)
     row_scale: jax.Array    # (B, NO)
     col_scale: jax.Array    # (B, NO)
     active: jax.Array       # (B, NO) bool
@@ -265,8 +284,20 @@ def prepare(
     # reference never reads them (reference: wlsqm/fitter/simple.pyx:334).
     # Zero them so 0-weight times non-finite cannot poison the contraction.
     delta = jnp.where(kmask[:, :, None], delta, 0.0)
-    c = basis(delta, dimension, NO)                   # (B, K, NO)
     d2 = jnp.sum(delta * delta, axis=-1)              # (B, K)
+
+    if precision == PRECISION_FAST:
+        # exact power-of-two radius normalization: keeps every basis column
+        # O(1) so the f32 assembly/factorization below stays well scaled
+        inv_s, e_s = radius_pow2_scale(d2, kmask)
+        delta = delta * inv_s[:, None, None]
+        d2 = d2 * (inv_s * inv_s)[:, None]
+        deg = jnp.asarray(tables.DEGREE[dimension][:NO], dtype)
+        dof_scale = jnp.exp2(-e_s[:, None] * deg[None, :])
+    else:
+        dof_scale = None
+
+    c = basis(delta, dimension, NO)                   # (B, K, NO)
     w = neighbor_weights(d2, kmask, weighting)
 
     active, known, unknown = dof_masks(order, knowns, dimension, NO)
@@ -280,7 +311,11 @@ def prepare(
     c_a = c.astype(asm_dtype)
     w_a = w.astype(asm_dtype)
     cw = c_a * w_a[..., None]
-    A_full = jnp.einsum("bkj,bkm->bjm", cw, c_a, preferred_element_type=asm_dtype)
+    # HIGHEST matmul precision: TPU otherwise runs f32 contractions as
+    # single-pass bf16 on the MXU, which destroys the preconditioner quality
+    A_full = jnp.einsum("bkj,bkm->bjm", cw, c_a,
+                        preferred_element_type=asm_dtype,
+                        precision=jax.lax.Precision.HIGHEST)
     unk2 = jnp.logical_and(unknown[:, :, None], unknown[:, None, :])
     eye = jnp.eye(NO, dtype=asm_dtype)
     A = jnp.where(unk2, A_full, 0.0) + jnp.where(unknown, 0.0, 1.0)[:, :, None] * eye
@@ -322,6 +357,7 @@ def prepare(
         w_lo=None,
         fac=fac,
         A_scaled=A_keep,
+        dof_scale=dof_scale,
         row_scale=row_scale,
         col_scale=col_scale,
         active=active,
@@ -416,6 +452,10 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
         return engine_ds.solve_prepared_ds(prep, fk, fi, do_sens)
     dtype = fk.dtype
     known_vals = jnp.where(prep.known, fi, 0.0)
+    if prep.dof_scale is not None:
+        # basis rows are radius-normalized; DOFs in the scaled space carry
+        # a factor s**degree, applied exactly (powers of two)
+        known_vals = (known_vals / prep.dof_scale).astype(dtype)
     model_known = jnp.einsum(
         "bkj,bj->bk", prep.c, known_vals, preferred_element_type=dtype
     )
@@ -423,7 +463,10 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
     resid = jnp.where(prep.w > 0, fk - model_known, 0.0)
     b = _rhs(prep, resid)
     x = _solve_scaled(prep, b[..., None])[..., 0]
-    fi_out = jnp.where(prep.unknown, x * prep.col_scale, fi)
+    sol = x * prep.col_scale
+    if prep.dof_scale is not None:
+        sol = sol * prep.dof_scale
+    fi_out = jnp.where(prep.unknown, sol, fi)
 
     sens = None
     if do_sens:
@@ -432,6 +475,8 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
         S = jnp.where(prep.unknown[..., None], S * prep.row_scale[..., None], 0.0)
         X = _solve_scaled(prep, S)                               # (B, NO, K)
         sens = X.swapaxes(-1, -2) * prep.col_scale[..., None, :]  # (B, K, NO)
+        if prep.dof_scale is not None:
+            sens = sens * prep.dof_scale[..., None, :]
         sens = jnp.where(prep.unknown[..., None, :], sens, 0.0)
         sens = jnp.where(prep.known[..., None, :], jnp.nan, sens)
     return fi_out, sens
@@ -470,8 +515,11 @@ def solve_iterative_prepared(
 
     def body(state):
         i, done, fi_cur, prev_norm, iters = state
+        coeffs = jnp.where(prep.active, fi_cur, 0.0)
+        if prep.dof_scale is not None:
+            coeffs = (coeffs / prep.dof_scale).astype(dtype)
         model = jnp.einsum(
-            "bkj,bj->bk", prep.c, fi_cur, preferred_element_type=dtype
+            "bkj,bj->bk", prep.c, coeffs, preferred_element_type=dtype
         )
         resid = jnp.where(kmask, fk - model, 0.0)
         norm = jnp.abs(resid).max(axis=-1)
@@ -479,7 +527,10 @@ def solve_iterative_prepared(
 
         b = _rhs(prep, resid)
         dx = _solve_scaled(prep, b[..., None])[..., 0]
-        fi_new = jnp.where(prep.unknown, fi_cur + dx * prep.col_scale, fi_cur)
+        corr = dx * prep.col_scale
+        if prep.dof_scale is not None:
+            corr = corr * prep.dof_scale
+        fi_new = jnp.where(prep.unknown, fi_cur + corr, fi_cur)
         fi_next = jnp.where(done_now[:, None], fi_cur, fi_new)
         iters = iters + jnp.logical_not(done_now).astype(jnp.int32)
         return (i + 1, done_now, fi_next, norm, iters)

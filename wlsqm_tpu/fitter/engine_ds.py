@@ -31,7 +31,7 @@ from wlsqm_tpu.ops import ruiz as ruiz_ops
 from wlsqm_tpu.ops import solve as solve_ops
 
 # refinement sweeps: error contracts by ~cond(scaled A) * eps_f32 per sweep
-DS_REFINE_STEPS = 4
+DS_REFINE_STEPS = 3
 DS_SENS_REFINE_STEPS = 2
 
 WEIGHT_ALPHA = 1e-4
@@ -121,17 +121,29 @@ def prepare_ds(xk, nk, xi, order, knowns, weighting, *, dimension, NO,
     xi_ds = tf.from_f64(xi)
     delta = tf.sub(xk_ds, (xi_ds[0][:, None, :], xi_ds[1][:, None, :]))
     delta = _where_pair(kmask[:, :, None], delta, _zero_pair_like(delta))
+    d2 = tf.sum_along(tf.mul(delta, delta), axis=-1)         # pair (B,K)
+
+    # exact power-of-two radius normalization (see engine.radius_pow2_scale):
+    # keeps basis columns O(1) so the f32 preconditioner stays well scaled
+    h2 = jnp.where(kmask, d2[0], 0.0).max(axis=-1)
+    e_s = jnp.ceil(0.5 * jnp.log2(jnp.where(h2 > 0, h2, 1.0)))
+    inv_s = jnp.exp2(-e_s)
+    delta = tf.mul_f32(delta, inv_s[:, None, None])
+    d2 = tf.mul_f32(d2, (inv_s * inv_s)[:, None])
+    deg = jnp.asarray(tables.DEGREE[dimension][:NO], jnp.float64)
+    dof_scale = jnp.exp2(-e_s.astype(jnp.float64)[:, None] * deg[None, :])
 
     c = basis_ds(delta, dimension, NO)                       # pair (B,K,NO)
-    d2 = tf.sum_along(tf.mul(delta, delta), axis=-1)         # pair (B,K)
     w = weights_ds(d2, kmask, weighting)                     # pair (B,K)
 
     active, known, unknown = dof_masks_fn(order, knowns, dimension, NO)
 
     # f32 assembly on the MXU (the preconditioner doesn't need ds fidelity)
     cw32 = c[0] * w[0][..., None]
+    # HIGHEST: avoid TPU's default bf16 single-pass f32 matmul (see engine)
     A = jnp.einsum("bkj,bkm->bjm", cw32, c[0],
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     unk2 = jnp.logical_and(unknown[:, :, None], unknown[:, None, :])
     eye = jnp.eye(NO, dtype=jnp.float32)
     A = jnp.where(unk2, A, 0.0) + jnp.where(unknown, 0.0, 1.0)[:, :, None] * eye
@@ -152,7 +164,7 @@ def prepare_ds(xk, nk, xi, order, knowns, weighting, *, dimension, NO,
 
     fac = solve_ops.factor(A_scaled, solver)
     return dict(
-        c=c[0], c_lo=c[1], w=w[0], w_lo=w[1], fac=fac,
+        c=c[0], c_lo=c[1], w=w[0], w_lo=w[1], fac=fac, dof_scale=dof_scale,
         row_scale=row_scale, col_scale=col_scale,
         active=active, known=known, unknown=unknown,
         cond_orig=cond_orig, cond_scaled=cond_scaled, ruiz_iters=ruiz_iters,
@@ -234,14 +246,15 @@ def solve_prepared_ds(prep, fk, fi, do_sens):
     """ds-mode counterpart of engine.solve_prepared; fk/fi are f64."""
     kmask = prep.w > 0
     fk_ds = tf.from_f64(jnp.where(kmask, fk, 0.0))
-    known_vals = tf.from_f64(jnp.where(prep.known, fi, 0.0))
+    known_vals = tf.from_f64(
+        jnp.where(prep.known, fi, 0.0) / prep.dof_scale)
     model_known = model_eval_ds(prep, known_vals)
     resid = _where_pair(kmask, tf.sub(fk_ds, model_known),
                         _zero_pair_like(fk_ds))
     b = rhs_ds(prep, resid)
     x = solve_scaled_ds(prep, b)
     fi_scaled = tf.mul_f32((x[0][..., 0], x[1][..., 0]), prep.col_scale)
-    fi_out = jnp.where(prep.unknown, tf.to_f64(fi_scaled), fi)
+    fi_out = jnp.where(prep.unknown, tf.to_f64(fi_scaled) * prep.dof_scale, fi)
 
     sens = None
     if do_sens:
@@ -255,6 +268,7 @@ def solve_prepared_ds(prep, fk, fi, do_sens):
         X = solve_scaled_ds(prep, S, refine_steps=DS_SENS_REFINE_STEPS)
         sens64 = tf.to_f64(X).swapaxes(-1, -2) \
             * prep.col_scale.astype(jnp.float64)[..., None, :]
+        sens64 = sens64 * prep.dof_scale[..., None, :]
         sens64 = jnp.where(prep.unknown[..., None, :], sens64, 0.0)
         sens = jnp.where(prep.known[..., None, :], jnp.nan, sens64)
     return fi_out, sens
@@ -279,7 +293,8 @@ def solve_iterative_prepared_ds(prep, fk, fi, max_iter, do_sens):
 
     def body(state):
         i, done, fi_cur, prev_norm, iters = state
-        fi_ds = tf.from_f64(fi_cur)
+        fi_ds = tf.from_f64(
+            jnp.where(prep.active, fi_cur, 0.0) / prep.dof_scale)
         model = model_eval_ds(prep, fi_ds)
         resid = _where_pair(kmask, tf.sub(fk_ds, model),
                             _zero_pair_like(fk_ds))
@@ -289,7 +304,7 @@ def solve_iterative_prepared_ds(prep, fk, fi, max_iter, do_sens):
         b = rhs_ds(prep, resid)
         dxp = solve_scaled_ds(prep, b)
         corr = tf.to_f64(tf.mul_f32((dxp[0][..., 0], dxp[1][..., 0]),
-                                    prep.col_scale))
+                                    prep.col_scale)) * prep.dof_scale
         fi_new = jnp.where(prep.unknown, fi_cur + corr, fi_cur)
         fi_next = jnp.where(done_now[:, None], fi_cur, fi_new)
         iters = iters + jnp.logical_not(done_now).astype(jnp.int32)

@@ -43,3 +43,21 @@ def test_radius_neighbors(rng):
     d = np.linalg.norm(pts - q, axis=1)
     expected = set(np.nonzero(d <= 0.3)[0])
     assert set(lists[0]) == expected
+
+
+def test_native_kdtree_matches_scipy(rng):
+    from wlsqm_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    import scipy.spatial
+    pts = rng.uniform(-1, 1, (3000, 3))
+    q = rng.uniform(-1, 1, (100, 3))
+    t = native.KDTree(pts)
+    ref = scipy.spatial.cKDTree(pts)
+    d, i = t.query(q, k=6)
+    dr, ir = ref.query(q, k=6)
+    np.testing.assert_allclose(np.sort(d, 1), np.sort(dr, 1), atol=1e-12)
+    lists = t.query_ball_point(q[:20], 0.3)
+    rl = ref.query_ball_point(q[:20], 0.3)
+    assert all(sorted(a) == sorted(b) for a, b in zip(lists, rl))

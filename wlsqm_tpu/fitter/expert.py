@@ -29,8 +29,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.spatial
-
 from wlsqm_tpu.fitter import defs, engine, tables
 from wlsqm_tpu.ops import solve as solve_ops
 
@@ -300,9 +298,11 @@ class ExpertSolver:
         if self.host is not None:
             self.tree = self.host.tree
         else:
+            from wlsqm_tpu.utils.neighbors import host_tree
+
             xi_rank2 = (self.xi if self.dimension >= 2
                         else np.atleast_2d(self.xi).T)
-            self.tree = scipy.spatial.cKDTree(data=xi_rank2)
+            self.tree = host_tree(xi_rank2)
 
     def interpolate(self, x, mode="nearest", r=None, diff=0, I=None):
         """Interpolate the patched global model (or a derivative) at ``x``.

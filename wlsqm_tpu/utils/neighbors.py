@@ -11,7 +11,9 @@ cloud is a first-class subsystem, with two interchangeable backends:
   host tree construction + query, keeps the data on-device, and is trivially
   shardable (each query block computes distances against the full —
   replicated or gathered — cloud).
-* ``backend="host"`` — scipy cKDTree on the host, better for very large
+* ``backend="host"`` — a k-d tree on the host: the framework's native C++
+  tree (:mod:`wlsqm_tpu.native`, multithreaded over queries) when the
+  toolchain is available, scipy's cKDTree otherwise.  Better for very large
   clouds queried few times, or when the device is busy.
 
 Both return identical (indices, per-query counts) contracts.
@@ -25,7 +27,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["knn", "radius_neighbors", "build_neighborhoods"]
+__all__ = ["knn", "radius_neighbors", "build_neighborhoods", "host_tree"]
+
+
+def host_tree(points):
+    """Build the best available host-side k-d tree over ``points``.
+
+    Prefers the native C++ tree; falls back to scipy.spatial.cKDTree.  Both
+    expose ``query(x, k)`` and ``query_ball_point(x, r)``.
+    """
+    from wlsqm_tpu import native
+
+    if native.available():
+        return native.KDTree(np.asarray(points))
+    import scipy.spatial
+
+    return scipy.spatial.cKDTree(np.asarray(points))
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -51,9 +68,7 @@ def knn(points, queries, k: int, backend: str = "tpu", block: int = 65536):
     distance matrix.
     """
     if backend == "host":
-        import scipy.spatial
-
-        tree = scipy.spatial.cKDTree(np.asarray(points))
+        tree = host_tree(points)
         d, idx = tree.query(np.asarray(queries), k=k)
         if k == 1:
             d = d[:, None]
@@ -76,10 +91,7 @@ def radius_neighbors(points, queries, r: float, backend: str = "host"):
     Returns a list of index arrays (host-side ragged structure; for the
     padded/masked device representation use :func:`build_neighborhoods`).
     """
-    import scipy.spatial
-
-    tree = scipy.spatial.cKDTree(np.asarray(points))
-    return tree.query_ball_point(np.asarray(queries), r)
+    return host_tree(points).query_ball_point(np.asarray(queries), r)
 
 
 def build_neighborhoods(points, values, centers, k: int,

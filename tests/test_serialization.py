@@ -1,0 +1,39 @@
+"""Prepared-state checkpointing: save -> load -> identical solves."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import wlsqm_tpu as wt
+from wlsqm_tpu.utils.serialization import load_prepared, save_prepared
+
+
+def _prep_and_data(rng, precision="f64", solver="chol"):
+    B, K = 12, 25
+    xk = rng.uniform(-1, 1, (B, K, 2))
+    fk = rng.standard_normal((B, K))
+    prep = wt.prepare(xk, np.zeros((B, 2)), order=3, solver=solver,
+                      precision=precision,
+                      scaling="jacobi" if precision != "f64" else "ruiz")
+    return prep, jnp.asarray(fk)
+
+
+def test_roundtrip_f64(rng, tmp_path):
+    prep, fk = _prep_and_data(rng)
+    fi1, _ = wt.solve(prep, fk)
+    path = str(tmp_path / "prep.npz")
+    save_prepared(path, prep)
+    prep2 = load_prepared(path)
+    fi2, _ = wt.solve(prep2, fk)
+    np.testing.assert_array_equal(np.asarray(fi1), np.asarray(fi2))
+    assert prep2.dimension == prep.dimension
+    assert prep2.precision == prep.precision
+
+
+def test_roundtrip_ds_unrolled(rng, tmp_path):
+    prep, fk = _prep_and_data(rng, precision="ds", solver="chol_unrolled")
+    fi1, _ = wt.solve(prep, fk)
+    path = str(tmp_path / "prep_ds.npz")
+    save_prepared(path, prep)
+    prep2 = load_prepared(path)
+    fi2, _ = wt.solve(prep2, fk)
+    np.testing.assert_array_equal(np.asarray(fi1), np.asarray(fi2))

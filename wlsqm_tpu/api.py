@@ -231,14 +231,28 @@ def solve(
     fk = jnp.asarray(fk)
     fi0 = (jnp.zeros((prep.ncases, prep.no_max), fk.dtype)
            if fi_init is None else jnp.asarray(fi_init, fk.dtype))
-    if iterative:
+
+    def run():
+        if iterative:
+            return jax.jit(
+                engine.solve_iterative_prepared,
+                static_argnames=("max_iter", "do_sens"),
+            )(prep, fk, fi0, max_iter=max_iter, do_sens=do_sens)
         return jax.jit(
-            engine.solve_iterative_prepared,
-            static_argnames=("max_iter", "do_sens"),
-        )(prep, fk, fi0, max_iter=max_iter, do_sens=do_sens)
-    return jax.jit(
-        engine.solve_prepared, static_argnames=("do_sens",)
-    )(prep, fk, fi0, do_sens=do_sens)
+            engine.solve_prepared, static_argnames=("do_sens",)
+        )(prep, fk, fi0, do_sens=do_sens)
+
+    try:
+        return run()
+    except ValueError as e:  # pragma: no cover - jit-cache defect workaround
+        # Re-executing a cached executable against a structurally identical
+        # but freshly materialized Prepared (e.g. loaded from a checkpoint)
+        # can trip a pjit argument-pruning mismatch ("Execution supplied N
+        # buffers..."). Clearing the caches and recompiling is safe.
+        if "buffers" not in str(e):
+            raise
+        jax.clear_caches()
+        return run()
 
 
 def interpolate(fi, xi, x, *, dimension: int, order: int, diff: int = 0):

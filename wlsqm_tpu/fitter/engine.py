@@ -420,17 +420,21 @@ def _solve_scaled(prep: Prepared, b: jax.Array) -> jax.Array:
         prep.fac, b.astype(jnp.float32), prep.solver
     ).astype(dtype)
     if prep.precision == PRECISION_MIXED:
-        for _ in range(MIXED_REFINE_STEPS):
+        def body_mixed(_, x):
             r = b - prep.A_scaled @ x
-            x = x + solve_ops.solve_factored(
+            return x + solve_ops.solve_factored(
                 prep.fac, r.astype(jnp.float32), prep.solver
             ).astype(dtype)
+
+        x = lax.fori_loop(0, MIXED_REFINE_STEPS, body_mixed, x)
     else:  # PRECISION_FAST
-        for _ in range(FAST_REFINE_STEPS):
+        def body_fast(_, x):
             r = b - _matvec_scaled(prep, x)
-            x = x + solve_ops.solve_factored(
+            return x + solve_ops.solve_factored(
                 prep.fac, r.astype(jnp.float32), prep.solver
             ).astype(dtype)
+
+        x = lax.fori_loop(0, FAST_REFINE_STEPS, body_fast, x)
     return x
 
 

@@ -207,15 +207,24 @@ def matvec_scaled_ds(prep, x):
 
 
 def solve_scaled_ds(prep, b, refine_steps=DS_REFINE_STEPS):
-    """Solve A_scaled X = B (ds pair (B, NO, m)) via f32 factor + ds refinement."""
+    """Solve A_scaled X = B (ds pair (B, NO, m)) via f32 factor + ds refinement.
+
+    The refinement runs as a fori_loop so the (large) solve+matvec body is
+    traced and compiled once, not ``refine_steps`` times — compile time for
+    the ds graph drops several-fold.
+    """
+    from jax import lax
+
     unk = prep.unknown[..., :, None]
     x32 = solve_ops.solve_factored(prep.fac, b[0], prep.solver)
     x = (jnp.where(unk, x32, b[0]), jnp.zeros_like(x32))
-    for _ in range(refine_steps):
+
+    def body(_, x):
         r = tf.sub(b, matvec_scaled_ds(prep, x))
         dx = solve_ops.solve_factored(prep.fac, r[0], prep.solver)
-        x = tf.add(x, (jnp.where(unk, dx, 0.0), jnp.zeros_like(dx)))
-    return x
+        return tf.add(x, (jnp.where(unk, dx, 0.0), jnp.zeros_like(dx)))
+
+    return lax.fori_loop(0, refine_steps, body, x)
 
 
 def rhs_ds(prep, resid):

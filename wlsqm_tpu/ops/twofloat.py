@@ -149,23 +149,27 @@ def sqrt(x):
 
 
 def sum_along(x, axis):
-    """Sum a pair array along an axis with a pairwise (tree) ds-reduction."""
+    """Sum a pair array along an axis with a pairwise (tree) ds-reduction.
+
+    The axis is zero-padded to the next power of two first (adding a zero
+    pair is exact), so every halving step is a clean slice — no
+    concatenates, which keeps the traced graph small and fusion-friendly.
+    """
     hi, lo = x
     n = hi.shape[axis]
     hi = jnp.moveaxis(hi, axis, 0)
     lo = jnp.moveaxis(lo, axis, 0)
-    while n > 1:
-        half = n // 2
-        a = (hi[:half], lo[:half])
-        b = (hi[half:2 * half], lo[half:2 * half])
-        s = add(a, b)
-        if n % 2:
-            hi = jnp.concatenate([s[0], hi[2 * half:]], axis=0)
-            lo = jnp.concatenate([s[1], lo[2 * half:]], axis=0)
-            n = half + 1
-        else:
-            hi, lo = s
-            n = half
+    m = 1
+    while m < n:
+        m *= 2
+    if m != n:
+        pad = [(0, m - n)] + [(0, 0)] * (hi.ndim - 1)
+        hi = jnp.pad(hi, pad)
+        lo = jnp.pad(lo, pad)
+    while m > 1:
+        half = m // 2
+        hi, lo = add((hi[:half], lo[:half]), (hi[half:], lo[half:]))
+        m = half
     return hi[0], lo[0]
 
 

@@ -1,0 +1,391 @@
+"""Fused Pallas TPU kernel for the WLSQM fit pipeline.
+
+The XLA engine (wlsqm_tpu.fitter.engine / engine_ds) materializes every
+elementwise intermediate in HBM; at the benchmark configuration that costs
+~6 GB of traffic per 32k-case chunk and bounds throughput near 1M fits/s.
+This kernel runs the ENTIRE per-case pipeline — double-single basis rows,
+weights, radius prescaling, f32 normal-matrix assembly, Jacobi scaling,
+unrolled Cholesky, and the ds-residual refinement loop — inside one
+`pallas_call`, with all per-case state resident in VMEM.  HBM sees only the
+inputs (offsets + data values) and the solved DOFs.
+
+Layout: cases are laid out on the (8, 128) vector tile — a block processes
+TILE = 1024 cases, and every per-case scalar is a full (8, 128) f32 tile, so
+each of the ~3k fused VPU ops works at 100% lane utilization.  Per-(k, j)
+quantities are (K, …, 8, 128) VMEM arrays indexed by `lax.fori_loop`.
+
+Scope (v1): homogeneous batches — one static polynomial order, no knowns
+bitmask, WEIGHT_UNIFORM or WEIGHT_CENTER, ragged nk via masking.  The
+engine falls back to the XLA path outside this envelope.  Accuracy matches
+the ds engine (~1e-12 vs f64); see tests/test_pallas_fit.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wlsqm_tpu.fitter import defs, tables
+from wlsqm_tpu.ops import twofloat as tf
+
+# the fused kernel traces a few thousand ops; default CPython recursion
+# limits can trip during lowering
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+
+TILE_S, TILE_L = 8, 128
+TILE = TILE_S * TILE_L          # cases per grid step
+DS_REFINE_STEPS = 3
+
+__all__ = ["fit_pallas", "supported"]
+
+
+def supported(dimension: int, order, knowns, weighting) -> bool:
+    """Whether the fused kernel covers this configuration."""
+    order = np.asarray(order)
+    knowns = np.asarray(knowns)
+    weighting = np.asarray(weighting)
+    return (
+        dimension in (1, 2, 3)
+        and order.min() == order.max()
+        and (knowns == 0).all()
+        and weighting.min() == weighting.max()
+    )
+
+
+def _basis_cols_ds(delta_cols, exp, invfact_pairs):
+    """Baked ds basis values c_j for one neighbor, from per-axis ds offsets.
+
+    delta_cols: list of per-axis ds pairs (each an (8,128) tile pair).
+    Returns a list of NO ds pairs.
+    """
+    dim = len(delta_cols)
+    max_pow = int(exp.max()) if exp.size else 0
+    # per-axis power ladders (ds)
+    ladders = []
+    for a in range(dim):
+        d = delta_cols[a]
+        lad = [None, d]
+        if max_pow >= 2:
+            d2 = tf.mul(d, d)
+            lad.append(d2)
+            if max_pow >= 3:
+                lad.append(tf.mul(d2, d))
+                if max_pow >= 4:
+                    lad.append(tf.mul(d2, d2))
+        ladders.append(lad)
+    out = []
+    for j in range(exp.shape[0]):
+        val = None
+        for a in range(dim):
+            e = int(exp[j, a])
+            if e == 0:
+                continue
+            term = ladders[a][e]
+            val = term if val is None else tf.mul(val, term)
+        if val is None:  # constant monomial
+            one = jnp.ones_like(delta_cols[0][0])
+            val = (one, jnp.zeros_like(one))
+        hi_c, lo_c = invfact_pairs[j]
+        if not (hi_c == 1.0 and lo_c == 0.0):
+            val = tf.mul(val, (jnp.full_like(val[0], hi_c),
+                               jnp.full_like(val[0], lo_c)))
+        out.append(val)
+    return out
+
+
+def _make_kernel(dimension: int, order: int, K: int, weighting: int,
+                 refine_steps: int):
+    NO = defs.number_of_dofs(dimension, order)
+    exp = tables.EXPONENTS[dimension][:NO]
+    deg = tables.DEGREE[dimension][:NO]
+    invf = tables.INV_FACT[dimension][:NO]
+    invfact_pairs = []
+    for v in invf:
+        hi = np.float32(v)
+        lo = np.float32(v - np.float64(hi))
+        invfact_pairs.append((float(hi), float(lo)))
+
+    def kernel(dhi_ref, dlo_ref, fkhi_ref, fklo_ref, kmask_ref, invs_ref,
+               xhi_ref, xlo_ref,
+               A_ref, L_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
+               whi_ref, wlo_ref):
+        zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+        inv_s = invs_ref[...]   # exact power of two, computed host-side so
+                                # the f64 de-scaling outside matches exactly
+
+        # ---- pass 1: max squared radius (ds, for the weight normalization) ----
+        def d2_body(k, carry):
+            maxd2_hi, maxd2_lo = carry
+            acc = (zero, zero)
+            for a in range(dimension):
+                d = (dhi_ref[k, a], dlo_ref[k, a])
+                acc = tf.add(acc, tf.mul(d, d))
+            m = kmask_ref[k]
+            # running max of (hi, lo) pairs ordered by hi then lo
+            take = jnp.logical_and(
+                m > 0,
+                jnp.logical_or(acc[0] > maxd2_hi,
+                               jnp.logical_and(acc[0] == maxd2_hi,
+                                               acc[1] > maxd2_lo)))
+            return (jnp.where(take, acc[0], maxd2_hi),
+                    jnp.where(take, acc[1], maxd2_lo))
+
+        maxd2 = lax.fori_loop(0, K, d2_body, (zero, zero))
+
+        # ---- pass 2: assemble A (f32), b (ds) over neighbors ----
+        A_ref[...] = jnp.zeros_like(A_ref)
+        bhi_ref[...] = jnp.zeros_like(bhi_ref)
+        blo_ref[...] = jnp.zeros_like(blo_ref)
+
+        def asm_body(k, _):
+            dcols = []
+            for a in range(dimension):
+                d = tf.mul_f32((dhi_ref[k, a], dlo_ref[k, a]), inv_s)
+                dcols.append(d)
+            c = _basis_cols_ds(dcols, exp, invfact_pairs)
+            # weights (ds for parity of the problem definition)
+            if weighting == defs.WEIGHT_CENTER:
+                d2 = (zero, zero)
+                for d in dcols:
+                    d2 = tf.add(d2, tf.mul(d, d))
+                # d2 is already radius-scaled; max scales to maxd2*inv_s^2
+                ms = (maxd2[0] * (inv_s * inv_s), maxd2[1] * (inv_s * inv_s))
+                ms = (jnp.where(ms[0] > 0, ms[0], 1.0), ms[1])
+                ratio = tf.div(d2, ms)
+                tmp = tf.add_f32(tf.neg(tf.sqrt(ratio)), jnp.float32(1.0))
+                t2 = tf.mul(tmp, tmp)
+                beta_hi = np.float32(1.0 - 1e-4)
+                beta_lo = np.float32((1.0 - 1e-4) - np.float64(beta_hi))
+                alpha_hi = np.float32(1e-4)
+                alpha_lo = np.float32(1e-4 - np.float64(alpha_hi))
+                w = tf.add(tf.mul(t2, (jnp.full_like(zero, beta_hi),
+                                       jnp.full_like(zero, beta_lo))),
+                           (jnp.full_like(zero, alpha_hi),
+                            jnp.full_like(zero, alpha_lo)))
+            else:
+                w = (jnp.ones_like(zero), zero)
+            m = kmask_ref[k]
+            w = (jnp.where(m > 0, w[0], 0.0), jnp.where(m > 0, w[1], 0.0))
+            wf = tf.mul(w, (fkhi_ref[k], fklo_ref[k]))
+            # store c (pair) and w for the refinement matvecs
+            for j in range(NO):
+                chi_ref[k, j] = c[j][0]
+                clo_ref[k, j] = c[j][1]
+            whi_ref[k] = w[0]
+            wlo_ref[k] = w[1]
+            # A += w * c cT (f32); b += w * fk * c (ds)
+            for j in range(NO):
+                wc_hi = w[0] * c[j][0]
+                for mcol in range(j, NO):
+                    A_ref[j, mcol] += wc_hi * c[mcol][0]
+                bj = tf.add((bhi_ref[j], blo_ref[j]), tf.mul(wf, c[j]))
+                bhi_ref[j] = bj[0]
+                blo_ref[j] = bj[1]
+            return 0
+
+        lax.fori_loop(0, K, asm_body, 0)
+
+        # ---- Jacobi scale + Cholesky (f32, unrolled) ----
+        s = [None] * NO
+        for j in range(NO):
+            djj = A_ref[j, j]
+            s[j] = jnp.where(djj > 0, lax.rsqrt(jnp.where(djj > 0, djj, 1.0)),
+                             1.0)
+        Asc = [[None] * NO for _ in range(NO)]
+        for j in range(NO):
+            for mcol in range(j, NO):
+                Asc[j][mcol] = A_ref[j, mcol] * (s[j] * s[mcol])
+
+        L = [[None] * (i + 1) for i in range(NO)]
+        for j in range(NO):
+            acc = Asc[j][j]
+            for kk in range(j):
+                acc = acc - L[j][kk] * L[j][kk]
+            dj = jnp.sqrt(jnp.maximum(acc, 1e-30))
+            L[j][j] = dj
+            invd = 1.0 / dj
+            for i in range(j + 1, NO):
+                t = Asc[j][i]   # upper triangle holds A[j, i] for i > j
+                for kk in range(j):
+                    t = t - L[i][kk] * L[j][kk]
+                L[i][j] = t * invd
+        for i in range(NO):
+            for j in range(i + 1):
+                L_ref[i, j] = L[i][j]
+
+        def chol_solve(rhs):
+            """Unrolled f32 solve of (scaled A) x = rhs; rhs list of tiles."""
+            y = [None] * NO
+            for i in range(NO):
+                t = rhs[i]
+                for kk in range(i):
+                    t = t - L_ref[i, kk] * y[kk]
+                y[i] = t / L_ref[i, i]
+            x = [None] * NO
+            for i in range(NO - 1, -1, -1):
+                t = y[i]
+                for kk in range(i + 1, NO):
+                    t = t - L_ref[kk, i] * x[kk]
+                x[i] = t / L_ref[i, i]
+            return x
+
+        # ---- initial solve (scaled space: x solves D A D x = D b) ----
+        bs = [(bhi_ref[j], blo_ref[j]) for j in range(NO)]
+        x = [None] * NO     # ds solution in the jacobi-scaled space
+        rhs0 = [bs[j][0] * s[j] for j in range(NO)]
+        x0 = chol_solve(rhs0)
+        for j in range(NO):
+            x[j] = (x0[j], zero)
+
+        # ---- ds refinement: r = D b - (D A D) x via the stored ds c ----
+        def refine(_, xs):
+            xs = [(xs[0][j], xs[1][j]) for j in range(NO)]
+            # t_k = sum_j c_kj * (s_j x_j)  -> model residual contraction
+            sx = [tf.mul_f32(xs[j], s[j]) for j in range(NO)]
+
+            def matvec_body(k, acc):
+                t = (zero, zero)
+                for j in range(NO):
+                    t = tf.add(t, tf.mul((chi_ref[k, j], clo_ref[k, j]),
+                                         sx[j]))
+                t = tf.mul(t, (whi_ref[k], wlo_ref[k]))
+                new = []
+                for j in range(NO):
+                    aj = tf.add((acc[0][j], acc[1][j]),
+                                tf.mul((chi_ref[k, j], clo_ref[k, j]), t))
+                    new.append(aj)
+                return ([a[0] for a in new], [a[1] for a in new])
+
+            init = ([zero] * NO, [zero] * NO)
+            ax = lax.fori_loop(0, K, matvec_body, init)
+            r = []
+            for j in range(NO):
+                axj = tf.mul_f32((ax[0][j], ax[1][j]), s[j])
+                bj = tf.mul_f32(bs[j], s[j])
+                r.append(tf.sub(bj, axj))
+            dx = chol_solve([rj[0] for rj in r])
+            out = [tf.add(xs[j], (dx[j], zero)) for j in range(NO)]
+            return ([o[0] for o in out], [o[1] for o in out])
+
+        xs = ([x[j][0] for j in range(NO)], [x[j][1] for j in range(NO)])
+        xs = lax.fori_loop(0, refine_steps, refine, xs)
+
+        # ---- unscale: fi_scaled = s_j * x_j ; radius de-scale happens
+        #      outside (exact powers of two applied in f64) ----
+        for j in range(NO):
+            sol = tf.mul_f32((xs[0][j], xs[1][j]), s[j])
+            xhi_ref[j] = sol[0]
+            xlo_ref[j] = sol[1]
+
+    return kernel, NO, deg
+
+
+@partial(jax.jit, static_argnames=("dimension", "order", "weighting",
+                                   "refine_steps", "interpret"))
+def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
+               weighting: int, refine_steps: int = DS_REFINE_STEPS,
+               interpret: bool = False):
+    """Fused-kernel fit of a homogeneous batch (see module docstring).
+
+    xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
+    B must be a multiple of TILE (pad with duplicate cases if needed).
+    Returns fi (B, NO) f64.
+    """
+    B, K, _ = xk.shape
+    assert B % TILE == 0, "pad the batch to a multiple of %d" % TILE
+    nblk = B // TILE
+    kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
+                                   refine_steps)
+
+    # host-side (XLA) preprocessing: ds split + tile layout
+    delta = xk - xi[:, None, :]
+    kmask = (jnp.arange(K)[None, :] < nk[:, None])
+    delta = jnp.where(kmask[:, :, None], delta, 0.0)
+    dhi, dlo = tf.from_f64(delta)
+    fkm = jnp.where(kmask, fk, 0.0)
+    fkhi, fklo = tf.from_f64(fkm)
+
+    def to_tiles(x):  # (B, K, ...) -> (nblk, K, ..., 8, 128)
+        x = jnp.moveaxis(x.reshape(nblk, TILE_S, TILE_L, *x.shape[1:]), (1, 2),
+                         (-2, -1))
+        return x
+
+    # the per-case power-of-two scale, shared exactly with the f64 unscale
+    d2m = jnp.where(kmask, jnp.sum(delta * delta, -1), 0.0)
+    h2 = d2m.max(axis=-1)
+    e_s = jnp.ceil(0.5 * jnp.log2(jnp.where(h2 > 0, h2, 1.0)))
+    inv_s = jnp.exp2(-e_s).astype(jnp.float32)
+
+    def to_tiles1(x):  # (B,) -> (nblk, 8, 128)
+        return x.reshape(nblk, TILE_S, TILE_L)
+
+    args = (to_tiles(dhi), to_tiles(dlo), to_tiles(fkhi), to_tiles(fklo),
+            to_tiles(kmask.astype(jnp.float32)), to_tiles1(inv_s))
+
+    grid = (nblk,)
+    in_specs = []
+    for a in args:
+        if a.ndim == 5:
+            in_specs.append(pl.BlockSpec(
+                (1, K, dimension, TILE_S, TILE_L),
+                lambda i: (i, 0, 0, 0, 0)))
+        elif a.ndim == 4:
+            in_specs.append(pl.BlockSpec(
+                (1, K, TILE_S, TILE_L), lambda i: (i, 0, 0, 0)))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, TILE_S, TILE_L), lambda i: (i, 0, 0)))
+
+    def kernel_wrap(dhi, dlo, fkhi, fklo, kmask, invs, xhi, xlo,
+                    A, L, bhi, blo, chi, clo, whi, wlo):
+        # pass sub-refs (not materialized values) so per-k loads stay
+        # individual VMEM reads instead of one huge gathered value
+        kernel(dhi.at[0], dlo.at[0], fkhi.at[0], fklo.at[0], kmask.at[0],
+               invs.at[0], xhi.at[0], xlo.at[0],
+               A, L, bhi, blo, chi, clo, whi, wlo)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
+        jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((1, NO, TILE_S, TILE_L), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, NO, TILE_S, TILE_L), lambda i: (i, 0, 0, 0)),
+    )
+    scratch = [
+        pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32),   # A
+        pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32),   # L
+        pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32),       # b hi
+        pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32),       # b lo
+        pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),    # c hi
+        pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),    # c lo
+        pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32),        # w hi
+        pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32),        # w lo
+    ]
+
+    xhi_t, xlo_t = pl.pallas_call(
+        kernel_wrap,
+        grid=grid,
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    # back to (B, NO), f64, and undo the radius prescale exactly
+    def from_tiles(x):  # (nblk, NO, 8, 128) -> (B, NO)
+        return jnp.moveaxis(x, (-2, -1), (1, 2)).reshape(B, x.shape[1])
+
+    fi_scaled = (from_tiles(xhi_t).astype(jnp.float64)
+                 + from_tiles(xlo_t).astype(jnp.float64))
+    dof_scale = jnp.exp2(-e_s.astype(jnp.float64)[:, None]
+                         * jnp.asarray(deg, jnp.float64)[None, :])
+    return fi_scaled * dof_scale

@@ -31,7 +31,9 @@ __all__ = [
     "sum_along", "dot",
 ]
 
-_HI_MASK = jnp.uint32(0xFFFFF000)  # keep top 11 explicit mantissa bits
+# keep top 11 explicit mantissa bits; plain int so Pallas kernels using
+# these ops do not capture a traced constant
+_HI_MASK = 0xFFFFF000
 
 
 def from_f64(x):

@@ -1,0 +1,82 @@
+"""Fused Pallas fit kernel — interpreter-mode checks.
+
+On CPU the kernel runs through the Pallas interpreter, where the ds pair
+arithmetic is subject to the known XLA-CPU fusion degradation (see
+ops/twofloat docstring), so tolerances here are f32-grade; the f64-grade
+accuracy claim (~1e-12) is validated on real TPU hardware (recorded in
+BASELINE.md / bench logs).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import wlsqm_tpu as wt
+from wlsqm_tpu.fitter import defs, engine
+from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas, supported
+
+
+def _problem(rng, B, K=20, clustered=False):
+    if clustered:
+        centers = rng.uniform(-1, 1, (B, 2))
+        xk = centers[:, None, :] + rng.uniform(-0.2, 0.2, (B, K, 2))
+    else:
+        centers = np.zeros((B, 2))
+        xk = rng.uniform(-1, 1, (B, K, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    return (jnp.asarray(xk), jnp.asarray(fk),
+            jnp.full((B,), K, jnp.int32), jnp.asarray(centers))
+
+
+@pytest.mark.parametrize("order,weighting", [
+    (2, defs.WEIGHT_UNIFORM),
+    (4, defs.WEIGHT_CENTER),
+])
+def test_matches_engine(rng, order, weighting):
+    xk, fk, nk, xi = _problem(rng, TILE)
+    fi_p = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=order,
+                                 weighting=weighting, interpret=True))
+    NO = wt.number_of_dofs(2, order)
+    B = TILE
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.zeros((B, NO)),
+        jnp.full((B,), order, jnp.int32), jnp.zeros((B,), jnp.int64),
+        jnp.full((B,), weighting, jnp.int32), dimension=2, NO=NO)
+    rel = np.abs(fi_p - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
+    assert rel < 5e-5, f"rel={rel:.2e}"  # f32-grade bound in interpret mode
+
+
+def test_clustered_neighborhoods(rng):
+    """Small-radius clouds exercise the power-of-two prescale."""
+    xk, fk, nk, xi = _problem(rng, TILE, clustered=True)
+    fi_p = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
+                                 weighting=defs.WEIGHT_CENTER, interpret=True))
+    assert np.isfinite(fi_p).all()
+    # F DOF approximates the field at the center
+    truth = np.sin(np.asarray(xi)[:, 0]) * np.cos(np.asarray(xi)[:, 1])
+    assert np.abs(fi_p[:, 0] - truth).max() < 1e-2
+
+
+def test_ragged_nk(rng):
+    xk, fk, nk, xi = _problem(rng, TILE, K=24)
+    nk = jnp.asarray(
+        np.where(np.arange(TILE) % 2 == 0, 24, 17).astype(np.int32))
+    fi_p = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
+                                 weighting=defs.WEIGHT_UNIFORM,
+                                 interpret=True))
+    NO = 6
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
+        jnp.full((TILE,), 2, jnp.int32), jnp.zeros((TILE,), jnp.int64),
+        jnp.full((TILE,), defs.WEIGHT_UNIFORM, jnp.int32),
+        dimension=2, NO=NO)
+    rel = np.abs(fi_p - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
+    assert rel < 5e-6
+
+
+def test_supported_predicate():
+    assert supported(2, np.full(4, 2), np.zeros(4), np.full(4, 1))
+    assert not supported(2, np.array([2, 3]), np.zeros(2), np.full(2, 1))
+    assert not supported(2, np.full(4, 2), np.array([1, 0, 0, 0]),
+                         np.full(4, 1))
+    assert not supported(2, np.full(4, 2), np.zeros(4), np.array([1, 2, 1, 1]))

@@ -137,7 +137,7 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             return (jnp.where(take, acc[0], maxd2_hi),
                     jnp.where(take, acc[1], maxd2_lo))
 
-        maxd2 = lax.fori_loop(0, K, d2_body, (zero, zero))
+        maxd2 = lax.fori_loop(jnp.int32(0), jnp.int32(K), d2_body, (zero, zero))
 
         # ---- pass 2: assemble A (f32), b (ds) over neighbors ----
         A_ref[...] = jnp.zeros_like(A_ref)
@@ -188,9 +188,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 bj = tf.add((bhi_ref[j], blo_ref[j]), tf.mul(wf, c[j]))
                 bhi_ref[j] = bj[0]
                 blo_ref[j] = bj[1]
-            return 0
+            return jnp.int32(0)
 
-        lax.fori_loop(0, K, asm_body, 0)
+        lax.fori_loop(jnp.int32(0), jnp.int32(K), asm_body, jnp.int32(0))
 
         # ---- Jacobi scale + Cholesky (f32, unrolled) ----
         s = [None] * NO
@@ -264,7 +264,7 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 return ([a[0] for a in new], [a[1] for a in new])
 
             init = ([zero] * NO, [zero] * NO)
-            ax = lax.fori_loop(0, K, matvec_body, init)
+            ax = lax.fori_loop(jnp.int32(0), jnp.int32(K), matvec_body, init)
             r = []
             for j in range(NO):
                 axj = tf.mul_f32((ax[0][j], ax[1][j]), s[j])
@@ -275,7 +275,7 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             return ([o[0] for o in out], [o[1] for o in out])
 
         xs = ([x[j][0] for j in range(NO)], [x[j][1] for j in range(NO)])
-        xs = lax.fori_loop(0, refine_steps, refine, xs)
+        xs = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps), refine, xs)
 
         # ---- unscale: fi_scaled = s_j * x_j ; radius de-scale happens
         #      outside (exact powers of two applied in f64) ----
@@ -330,34 +330,30 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
             to_tiles(kmask.astype(jnp.float32)), to_tiles1(inv_s))
 
     grid = (nblk,)
+    # None in the leading block dim squeezes it away, so the kernel sees
+    # (K, ..., 8, 128) refs directly.  Index-map literals must be i32 —
+    # under jax_enable_x64 a plain 0 lowers to i64, which Mosaic rejects.
+    z = np.int32(0)
     in_specs = []
     for a in args:
         if a.ndim == 5:
             in_specs.append(pl.BlockSpec(
-                (1, K, dimension, TILE_S, TILE_L),
-                lambda i: (i, 0, 0, 0, 0)))
+                (None, K, dimension, TILE_S, TILE_L),
+                lambda i: (i, z, z, z, z)))
         elif a.ndim == 4:
             in_specs.append(pl.BlockSpec(
-                (1, K, TILE_S, TILE_L), lambda i: (i, 0, 0, 0)))
+                (None, K, TILE_S, TILE_L), lambda i: (i, z, z, z)))
         else:
             in_specs.append(pl.BlockSpec(
-                (1, TILE_S, TILE_L), lambda i: (i, 0, 0)))
-
-    def kernel_wrap(dhi, dlo, fkhi, fklo, kmask, invs, xhi, xlo,
-                    A, L, bhi, blo, chi, clo, whi, wlo):
-        # pass sub-refs (not materialized values) so per-k loads stay
-        # individual VMEM reads instead of one huge gathered value
-        kernel(dhi.at[0], dlo.at[0], fkhi.at[0], fklo.at[0], kmask.at[0],
-               invs.at[0], xhi.at[0], xlo.at[0],
-               A, L, bhi, blo, chi, clo, whi, wlo)
+                (None, TILE_S, TILE_L), lambda i: (i, z, z)))
 
     out_shape = (
         jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
         jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
     )
     out_specs = (
-        pl.BlockSpec((1, NO, TILE_S, TILE_L), lambda i: (i, 0, 0, 0)),
-        pl.BlockSpec((1, NO, TILE_S, TILE_L), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
+        pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
     )
     scratch = [
         pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32),   # A
@@ -371,7 +367,7 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     ]
 
     xhi_t, xlo_t = pl.pallas_call(
-        kernel_wrap,
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_shape=out_shape,

@@ -9,10 +9,14 @@ significant bits at a handful of native f32 VPU flops per operation.
 
 Robustness note: classic Dekker splitting relies on exact rounding of
 separate mul/add ops and silently breaks if the compiler contracts them into
-FMAs (this environment compiles with ``--xla_allow_excess_precision``).  The
-splits here therefore use mantissa *bit masking* via bitcast, which no
-contraction can alter; the remaining building block, two_sum, uses only
-additions, which XLA does not reassociate.
+FMAs.  The splits here therefore use mantissa *bit masking* via bitcast,
+which no contraction can alter; the remaining building block, two_sum, uses
+only additions.  Empirically the TPU compilers (XLA and Mosaic/Pallas)
+preserve these chains exactly (validated ulp-exact on device); XLA *CPU* can
+fuse-and-duplicate the chains in large graphs, degrading pairs to plain f32
+— which is why the ds precision mode targets TPU and the CPU default is the
+native-f64 path.  (``lax.optimization_barrier`` does not help: XLA strips it
+during compilation, and Mosaic rejects it.)
 
 Values are represented as a (hi, lo) tuple of equally-shaped f32 arrays with
 ``value = hi + lo`` and ``|lo| <= ulp(hi)/2``.
@@ -65,32 +69,23 @@ def _split_mask(a):
 
 
 def two_sum(a, b):
-    """Exact addition: s + e == a + b with s = fl(a+b). 6 flops, adds only.
-
-    The rounded sum is wrapped in an optimization barrier: under jit, XLA's
-    algebraic simplifier would otherwise cancel the error-recovery terms
-    (e.g. rewrite ``s - a`` to ``b``), silently degrading the pair back to
-    plain f32.
-    """
-    s = lax.optimization_barrier(a + b)
+    """Exact addition: s + e == a + b with s = fl(a+b). 6 flops, adds only."""
+    s = a + b
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def quick_two_sum(a, b):
-    """two_sum for |a| >= |b| (3 flops). Barrier rationale as in two_sum."""
-    s = lax.optimization_barrier(a + b)
+    """two_sum for |a| >= |b| (3 flops)."""
+    s = a + b
     e = b - (s - a)
     return s, e
 
 
 def two_prod(a, b):
-    """Exact product: p + e == a*b with p = fl(a*b), via masked splits.
-
-    Barrier rationale as in two_sum (prevents ``ah*bh - p`` style folding).
-    """
-    p = lax.optimization_barrier(a * b)
+    """Exact product: p + e == a*b with p = fl(a*b), via masked splits."""
+    p = a * b
     ah, al = _split_mask(a)
     bh, bl = _split_mask(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

@@ -47,10 +47,13 @@ def main():
     on_tpu = dev.platform != "cpu"
     log("device: %s" % (dev,))
 
+    import os
+    backend = os.environ.get("WLSQM_BENCH_BACKEND",
+                             "pallas" if on_tpu else "xla")
     precision = "ds" if on_tpu else "f64"
     solver = "chol_unrolled" if on_tpu else "chol"
     scaling = "jacobi" if on_tpu else "ruiz"
-    log("mode: precision=%s solver=%s scaling=%s" % (precision, solver, scaling))
+    log("backend=%s (fallback: xla %s)" % (backend, precision))
 
     key = jax.random.PRNGKey(42)
 
@@ -80,7 +83,7 @@ def main():
     knowns = jnp.zeros((CHUNK,), jnp.int64)
     weighting = jnp.full((CHUNK,), defs.WEIGHT_CENTER, jnp.int32)
 
-    def fit_chunk(xk, fk):
+    def fit_chunk_xla(xk, fk):
         fi, _s, _it, _c = engine.fit_batch(
             xk, fk, nk, xi, fi0, order, knowns, weighting,
             dimension=2, NO=NO,
@@ -88,19 +91,39 @@ def main():
         )
         return fi
 
-    @jax.jit
-    def sweep(xks, fks):
-        def step(acc, i):
-            j = i % RESIDENT_CHUNKS
-            fi = fit_chunk(xks[j], fks[j])
-            return acc + fi.sum(), None
+    def fit_chunk_pallas(xk, fk):
+        from wlsqm_tpu.ops.pallas_fit import fit_pallas
 
-        acc, _ = jax.lax.scan(
-            step, jnp.float64(0.0), jnp.arange(SWEEP_STEPS))
-        return acc
+        return fit_pallas(xk, fk, nk, xi, dimension=2, order=4,
+                          weighting=defs.WEIGHT_CENTER)
+
+    fit_chunk = fit_chunk_pallas if backend == "pallas" else fit_chunk_xla
+
+    def make_sweep(fit_chunk):
+        @jax.jit
+        def sweep(xks, fks):
+            def step(acc, i):
+                j = i % RESIDENT_CHUNKS
+                fi = fit_chunk(xks[j], fks[j])
+                return acc + fi.sum(), None
+
+            acc, _ = jax.lax.scan(
+                step, jnp.float64(0.0), jnp.arange(SWEEP_STEPS))
+            return acc
+        return sweep
+
+    sweep = make_sweep(fit_chunk)
 
     t0 = time.perf_counter()
-    float(sweep(xks, fks))    # compile + first run (scalar fetch = sync)
+    try:
+        float(sweep(xks, fks))    # compile + first run (scalar fetch = sync)
+    except Exception as e:  # pragma: no cover - robust fallback for the driver
+        log("backend %s failed (%s: %s); falling back to xla"
+            % (backend, type(e).__name__, str(e)[:200]))
+        backend = "xla"
+        fit_chunk = fit_chunk_xla
+        sweep = make_sweep(fit_chunk)
+        float(sweep(xks, fks))
     log("compile+first sweep: %.1f s" % (time.perf_counter() - t0))
 
     times = []
@@ -125,6 +148,7 @@ def main():
         "unit": "fits/s",
         "vs_baseline": round(fits_per_sec / BASELINE_FITS_PER_SEC, 3),
         "parity_linf_rel": float(parity),
+        "backend": backend,
         "precision_mode": precision,
         "chunk": CHUNK,
         "sweep_seconds": round(dt, 4),

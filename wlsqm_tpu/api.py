@@ -98,6 +98,7 @@ def fit_many(
     ruiz_max_iter: int = 100,
     scaling: str = "ruiz",
     solver: str = solve_ops.SOLVER_CHOLESKY,
+    backend: str = "xla",
 ) -> FitResult:
     """Fit a batch of local surrogate models (JAX-native).
 
@@ -111,6 +112,10 @@ def fit_many(
         :mod:`wlsqm_tpu.fitter.engine`; the non-f64 modes keep ~1e-12
         agreement with the f64 path while avoiding slow emulated-f64
         factorization on TPU.
+
+    backend: "xla" (default), "pallas" (the fused VMEM-resident kernel —
+        fastest on TPU; homogeneous order, no knowns, single weighting, no
+        sens/iterative), or "auto" (pallas when eligible on TPU).
 
     Returns a :class:`FitResult`.  This function is jit-compiled; wrap it in
     ``shard_map`` over the case axis for multi-chip execution (see
@@ -127,6 +132,40 @@ def fit_many(
     if max_order is None:
         max_order = int(np.max(np.asarray(order)))
     NO = defs.number_of_dofs(dim, max_order)
+
+    if backend in ("pallas", "auto"):
+        from wlsqm_tpu.ops import pallas_fit
+
+        on_cpu = jax.default_backend() == "cpu"
+        eligible = (
+            pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
+                                 np.asarray(weighting))
+            and not do_sens and not iterative and not debug
+            and fi_init is None
+            # on CPU the kernel only runs interpreted (slow); auto avoids it
+            and (backend == "pallas" or not on_cpu)
+        )
+        if eligible:
+            pad = (-B) % pallas_fit.TILE
+            xk_p = jnp.concatenate([xk, xk[:1].repeat(pad, 0)]) if pad else xk
+            fk_p = jnp.concatenate([fk, fk[:1].repeat(pad, 0)]) if pad else fk
+            nk_p = jnp.concatenate([nk, nk[:1].repeat(pad, 0)]) if pad else nk
+            xi_p = jnp.concatenate([xi, xi[:1].repeat(pad, 0)]) if pad else xi
+            fi = pallas_fit.fit_pallas(
+                xk_p, fk_p, nk_p, xi_p, dimension=dim,
+                order=int(np.max(np.asarray(order))),
+                weighting=int(np.max(np.asarray(weighting))),
+                interpret=on_cpu)[:B]
+            zeros = jnp.zeros((B,), jnp.int32)
+            nanv = jnp.full((B,), jnp.nan, fi.dtype)
+            return FitResult(fi=fi, sens=None, iterations=zeros,
+                             cond_scaled=nanv)
+        if backend == "pallas":
+            raise ValueError(
+                "backend='pallas' requires a homogeneous batch (single "
+                "order/weighting, no knowns) without sens/iterative/debug; "
+                "use backend='auto' or 'xla'")
+
     fi0 = (jnp.zeros((B, NO), xk.dtype) if fi_init is None
            else jnp.asarray(fi_init, xk.dtype))
 

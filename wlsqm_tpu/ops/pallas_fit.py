@@ -41,7 +41,7 @@ sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 TILE_S, TILE_L = 8, 128
 TILE = TILE_S * TILE_L          # cases per grid step
-DS_REFINE_STEPS = 3
+DS_REFINE_STEPS = 2   # total sweeps = refine_steps + 1 (first sweep is the solve)
 
 __all__ = ["fit_pallas", "supported"]
 
@@ -236,15 +236,12 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 x[i] = t / L_ref[i, i]
             return x
 
-        # ---- initial solve (scaled space: x solves D A D x = D b) ----
+        # ---- solve + ds refinement, starting from x = 0 so the initial
+        #      solve IS the first refinement sweep (chol_solve is traced
+        #      only once, inside the loop body — big Mosaic compile saving)
         bs = [(bhi_ref[j], blo_ref[j]) for j in range(NO)]
-        x = [None] * NO     # ds solution in the jacobi-scaled space
-        rhs0 = [bs[j][0] * s[j] for j in range(NO)]
-        x0 = chol_solve(rhs0)
-        for j in range(NO):
-            x[j] = (x0[j], zero)
 
-        # ---- ds refinement: r = D b - (D A D) x via the stored ds c ----
+        # refinement: r = D b - (D A D) x via the stored ds c ----
         def refine(_, xs):
             xs = [(xs[0][j], xs[1][j]) for j in range(NO)]
             # t_k = sum_j c_kj * (s_j x_j)  -> model residual contraction
@@ -274,8 +271,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             out = [tf.add(xs[j], (dx[j], zero)) for j in range(NO)]
             return ([o[0] for o in out], [o[1] for o in out])
 
-        xs = ([x[j][0] for j in range(NO)], [x[j][1] for j in range(NO)])
-        xs = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps), refine, xs)
+        xs = ([zero] * NO, [zero] * NO)
+        xs = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps + 1),
+                           refine, xs)
 
         # ---- unscale: fi_scaled = s_j * x_j ; radius de-scale happens
         #      outside (exact powers of two applied in f64) ----

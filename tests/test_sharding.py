@@ -92,3 +92,24 @@ def test_pad_cases():
     assert sharding.pad_cases(10, 8) == 16
     assert sharding.pad_cases(16, 8) == 16
     assert sharding.pad_cases(1, 8) == 8
+
+
+@needs_devices
+def test_sharded_pallas_equals_single_device(rng):
+    from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas
+
+    import jax.numpy as jnp
+
+    B, K = TILE * len(jax.devices()), 16
+    xk = jnp.asarray(rng.uniform(-1, 1, (B, K, 2)))
+    fk = jnp.asarray(np.sin(np.asarray(xk)[..., 0]))
+    nk = jnp.full((B,), K, np.int32)
+    xi = jnp.zeros((B, 2))
+
+    mesh = sharding.make_mesh()
+    fi_sh = sharding.sharded_fit_pallas(
+        mesh, xk, fk, nk, xi, dimension=2, order=2,
+        weighting=wt.WEIGHT_UNIFORM, interpret=True)
+    fi_1 = fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
+                      weighting=wt.WEIGHT_UNIFORM, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fi_sh), np.asarray(fi_1))

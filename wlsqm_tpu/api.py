@@ -139,7 +139,7 @@ def fit_many(
         on_cpu = jax.default_backend() == "cpu"
         eligible = (
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
-                                 np.asarray(weighting))
+                                 np.asarray(weighting), K=K)
             and not do_sens and not iterative and not debug
             and fi_init is None
             # on CPU the kernel only runs interpreted (slow); auto avoids it

@@ -26,6 +26,20 @@ import jax.numpy as jnp
 from wlsqm_tpu.fitter import defs
 from wlsqm_tpu.fitter import engine
 
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Round up to the next power of two (>= minimum).
+
+    The compat API pads batch and neighbor axes to bucketed sizes so that
+    repeated calls with organically varying shapes reuse a handful of
+    compiled programs instead of recompiling per shape.  Padding cases are
+    all-knowns no-ops; padded neighbors carry zero weight.
+    """
+    m = minimum
+    while m < n:
+        m *= 2
+    return m
+
 __all__ = [
     "fit_1D", "fit_1D_iterative", "fit_1D_many", "fit_1D_iterative_many",
     "fit_1D_many_parallel", "fit_1D_iterative_many_parallel",
@@ -66,7 +80,7 @@ def _fit_many_host(
     knowns = np.asarray(knowns, dtype=np.int64)
     weighting_method = np.asarray(weighting_method, dtype=np.int32)
 
-    B = xk.shape[0]
+    B, K = xk.shape[0], xk.shape[1]
     if dimension == 1:
         xk_b = xk[:, :, None]
         xi_b = np.asarray(xi, dtype=np.float64).reshape(B, 1)
@@ -77,6 +91,26 @@ def _fit_many_host(
     NO = defs.number_of_dofs(dimension, int(order.max()))
     fi_np = np.asarray(fi, dtype=np.float64)
     fi_in = np.ascontiguousarray(fi_np[:, :NO])
+
+    # bucket the batch/neighbor axes so organically varying sizes reuse a
+    # few compiled programs; padded cases are all-known order-0 no-ops and
+    # padded neighbors are masked out by nk
+    Bp, Kp = _bucket(B), _bucket(K)
+    if Kp != K:
+        xk_b = np.concatenate(
+            [xk_b, np.zeros((B, Kp - K, xk_b.shape[2]))], axis=1)
+        fk = np.concatenate([fk, np.zeros((B, Kp - K))], axis=1)
+    if Bp != B:
+        pad = Bp - B
+        xk_b = np.concatenate([xk_b, np.zeros((pad, Kp, xk_b.shape[2]))])
+        fk = np.concatenate([fk, np.zeros((pad, Kp))])
+        nk = np.concatenate([nk, np.ones(pad, np.int32)])
+        xi_b = np.concatenate([xi_b, np.zeros((pad, xi_b.shape[1]))])
+        fi_in = np.concatenate([fi_in, np.zeros((pad, NO))])
+        order = np.concatenate([order, np.zeros(pad, np.int32)])
+        knowns = np.concatenate([knowns, np.ones(pad, np.int64)])
+        weighting_method = np.concatenate(
+            [weighting_method, np.full(pad, defs.WEIGHT_UNIFORM, np.int32)])
 
     fi_out, sens_out, iters, _conds = engine.fit_batch(
         jnp.asarray(xk_b),
@@ -95,13 +129,12 @@ def _fit_many_host(
         debug=bool(debug),
     )
 
-    fi[:, :NO] = np.asarray(fi_out)
+    fi[:, :NO] = np.asarray(fi_out)[:B]
     if do_sens:
         if sens is None:
             raise ValueError("do_sens=True requires a sens output array")
-        K = xk.shape[1]
-        sens[:, :K, :NO] = np.asarray(sens_out)
-    return int(np.asarray(iters).max(initial=0))
+        sens[:, :K, :NO] = np.asarray(sens_out)[:B, :K]
+    return int(np.asarray(iters)[:B].max(initial=0))
 
 
 def _fit_one_host(

@@ -46,17 +46,35 @@ DS_REFINE_STEPS = 2   # total sweeps = refine_steps + 1 (first sweep is the solv
 __all__ = ["fit_pallas", "supported"]
 
 
-def supported(dimension: int, order, knowns, weighting) -> bool:
+def vmem_ok(dimension: int, order: int, K: int) -> bool:
+    """Whether the kernel's per-block scratch fits in VMEM (~16 MB/core).
+
+    Dominant scratch: the stored ds basis (K, NO) tile pairs plus A/L and
+    input blocks; budgeted against ~12 MB to leave room for Mosaic's own
+    buffers.
+    """
+    NO = defs.number_of_dofs(dimension, order)
+    tile_bytes = TILE_S * TILE_L * 4
+    scratch = (2 * K * NO + 2 * NO * NO + 2 * NO + 2 * K) * tile_bytes
+    inputs = (2 * K * dimension + 2 * K + K + 1) * tile_bytes
+    return scratch + inputs < 12 * 1024 * 1024
+
+
+def supported(dimension: int, order, knowns, weighting, K: int | None = None
+              ) -> bool:
     """Whether the fused kernel covers this configuration."""
     order = np.asarray(order)
     knowns = np.asarray(knowns)
     weighting = np.asarray(weighting)
-    return (
+    ok = (
         dimension in (1, 2, 3)
         and order.min() == order.max()
         and (knowns == 0).all()
         and weighting.min() == weighting.max()
     )
+    if ok and K is not None:
+        ok = vmem_ok(dimension, int(order.max()), K)
+    return bool(ok)
 
 
 def _basis_cols_ds(delta_cols, exp, invfact_pairs):

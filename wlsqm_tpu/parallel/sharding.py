@@ -111,6 +111,43 @@ def sharded_fit_many(
     )
 
 
+def sharded_fit_pallas(
+    mesh: Mesh,
+    xk,
+    fk,
+    nk,
+    xi,
+    *,
+    dimension: int,
+    order: int,
+    weighting: int,
+    axis_name: str = CASE_AXIS,
+    interpret: bool = False,
+):
+    """The fused Pallas fit kernel sharded over the case axis.
+
+    Each shard runs the VMEM-resident kernel on its local cases — the same
+    zero-collective data parallelism as :func:`sharded_fit_many`, at the
+    fused kernel's throughput.  Per-shard case counts must be multiples of
+    the kernel TILE (1024).  Verified bit-identical to single-device
+    execution (tests/test_sharding.py).
+    """
+    from wlsqm_tpu.ops.pallas_fit import fit_pallas
+
+    def local(xk, fk, nk, xi):
+        return fit_pallas(xk, fk, nk, xi, dimension=dimension, order=order,
+                          weighting=weighting, interpret=interpret)
+
+    spec = P(axis_name)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 4, out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(nk), jnp.asarray(xi)
+    )
+
+
 def replicated_coefficients(mesh: Mesh, fi, axis_name: str = CASE_AXIS):
     """All-gather the (small) solved coefficient arrays to every device.
 

@@ -80,7 +80,10 @@ class ExpertSolver:
     ``algorithm`` one of ALGO_BASIC/ALGO_ITERATIVE; ``do_sens``; ``max_iter``;
     ``ntasks`` (accepted for compatibility — parallelism is the batch axis);
     ``debug`` (compute 2-norm condition numbers during prepare);
-    ``host`` (guest mode: share another prepared solver's geometry arrays).
+    ``host`` (guest mode: share another prepared solver's geometry arrays);
+    ``precision`` — "f64" (reference-exact, default), or "mixed"/"fast"/"ds"
+    for the TPU fast paths (~1e-12 agreement with f64 on benchmark-scale
+    neighborhoods; see :mod:`wlsqm_tpu.fitter.engine`).
 
     Unlike the reference, the prepared state is an immutable pytree of JAX
     arrays (:attr:`prepared`), so solvers are cheap to snapshot/serialize and
@@ -89,7 +92,8 @@ class ExpertSolver:
 
     def __init__(self, dimension, nk, order, knowns, weighting_method,
                  algorithm=defs.ALGO_BASIC, do_sens=False, max_iter=10,
-                 ntasks=1, debug=False, host=None):
+                 ntasks=1, debug=False, host=None,
+                 precision="f64", scaling=None, solver=None):
         nk = np.asarray(nk, dtype=np.int32)
         order = np.asarray(order, dtype=np.int32)
         knowns = np.asarray(knowns, dtype=np.int64)
@@ -155,6 +159,17 @@ class ExpertSolver:
         self.knowns = knowns
         self.weighting_method = weighting_method
 
+        # precision mode for the engine ("f64" reference-exact; "mixed",
+        # "fast" or "ds" for the TPU fast paths — see wlsqm_tpu.fitter.engine)
+        self.precision = precision
+        if scaling is None:
+            scaling = "ruiz" if precision == "f64" else "jacobi"
+        if solver is None:
+            solver = (solve_ops.SOLVER_CHOLESKY if precision in ("f64", "mixed")
+                      else solve_ops.SOLVER_CHOLESKY_UNROLLED)
+        self.scaling = scaling
+        self.solver = solver
+
         self.NO = defs.number_of_dofs(self.dimension, int(order.max()))
         self.xk = None
         self.xi = None
@@ -205,8 +220,10 @@ class ExpertSolver:
             jnp.asarray(self.weighting_method),
             dimension=self.dimension,
             NO=self.NO,
-            solver=solve_ops.SOLVER_CHOLESKY,
+            solver=self.solver,
             debug=self.debug,
+            precision=self.precision,
+            scaling=self.scaling,
         )
         self.ready = True
 

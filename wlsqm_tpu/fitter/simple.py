@@ -92,6 +92,30 @@ def _fit_many_host(
     fi_np = np.asarray(fi, dtype=np.float64)
     fi_in = np.ascontiguousarray(fi_np[:, :NO])
 
+    # route eligible homogeneous batches through the fused Pallas kernel on
+    # accelerator backends (order-of-magnitude faster; see ops/pallas_fit)
+    if not (do_sens or iterative or debug):
+        import jax
+
+        from wlsqm_tpu.ops import pallas_fit
+
+        if (jax.default_backend() != "cpu"
+                and B >= pallas_fit.TILE
+                and pallas_fit.supported(dimension, order, knowns,
+                                         weighting_method, K=K)):
+            pad = (-B) % pallas_fit.TILE
+            xk_p = np.concatenate([xk_b, xk_b[:pad]]) if pad else xk_b
+            fk_p = np.concatenate([fk, fk[:pad]]) if pad else fk
+            nk_p = np.concatenate([nk, nk[:pad]]) if pad else nk
+            xi_p = np.concatenate([xi_b, xi_b[:pad]]) if pad else xi_b
+            fi_dev = pallas_fit.fit_pallas(
+                jnp.asarray(xk_p), jnp.asarray(fk_p), jnp.asarray(nk_p),
+                jnp.asarray(xi_p), dimension=dimension,
+                order=int(order.max()),
+                weighting=int(weighting_method.max()))
+            fi[:, :NO] = np.asarray(fi_dev)[:B]
+            return 0
+
     # bucket the batch/neighbor axes so organically varying sizes reuse a
     # few compiled programs; padded cases are all-known order-0 no-ops and
     # padded neighbors are masked out by nk

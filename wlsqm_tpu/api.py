@@ -56,6 +56,16 @@ class FitResult:
     iterations: jax.Array
     cond_scaled: jax.Array
 
+    @property
+    def ok(self) -> jax.Array:
+        """(B,) per-case success flags: all solved DOFs finite.
+
+        The reference silently ignores LAPACK failures inside its OpenMP
+        regions (reference: TODO_DEFERRED.md:5-22); surfacing a per-case
+        status array is the batched improvement suggested in SURVEY §5.
+        """
+        return jnp.isfinite(self.fi).all(axis=-1)
+
 
 def _broadcast_case_param(value, B, dtype):
     arr = jnp.asarray(value, dtype)

@@ -50,14 +50,21 @@ def _knn_device(points, queries, k: int):
     """Brute-force k-NN: (N, dim) cloud, (M, dim) queries -> (M, k) indices.
 
     Distances form an (M, N) matrix computed via the MXU-friendly expansion
-    |q - p|^2 = |q|^2 - 2 q·p + |p|^2; top-k by repeated masked argmin is
-    replaced with lax.top_k on the negated distances.
+    |q - p|^2 = |q|^2 - 2 q·p + |p|^2; top-k by lax.top_k on the negated
+    distances.  Ranking runs in f32 — under emulated f64 the distance
+    matrix would cost 8x the memory and ~30x the time, and neighbor
+    *selection* only needs the ordering (near-exact ties may pick either
+    neighbor, which is equally valid).
     """
-    p2 = jnp.sum(points * points, axis=-1)
-    q2 = jnp.sum(queries * queries, axis=-1)
-    d2 = q2[:, None] - 2.0 * (queries @ points.T) + p2[None, :]
-    neg, idx = jax.lax.top_k(-d2, k)
-    return idx, -neg
+    p32 = points.astype(jnp.float32)
+    q32 = queries.astype(jnp.float32)
+    p2 = jnp.sum(p32 * p32, axis=-1)
+    q2 = jnp.sum(q32 * q32, axis=-1)
+    d2 = q2[:, None] - 2.0 * (q32 @ p32.T) + p2[None, :]
+    _, idx = jax.lax.top_k(-d2, k)
+    # exact distances recomputed in the input dtype for the selected few
+    diff = queries[:, None, :] - points[idx]
+    return idx, jnp.sum(diff * diff, axis=-1)
 
 
 def knn(points, queries, k: int, backend: str = "tpu", block: int = 65536):
@@ -77,6 +84,9 @@ def knn(points, queries, k: int, backend: str = "tpu", block: int = 65536):
 
     points = jnp.asarray(points)
     queries = jnp.asarray(queries)
+    # bound the (block, N) f32 distance matrix to ~1 GB
+    n = points.shape[0]
+    block = max(256, min(block, int(2.5e8 // max(n, 1))))
     outs_i, outs_d = [], []
     for s in range(0, queries.shape[0], block):
         idx, d2 = _knn_device(points, queries[s:s + block], k)

@@ -50,6 +50,22 @@ __all__ = [
 ]
 
 
+# below this many cases, accelerator dispatch latency dominates and the
+# host CPU (native f64) is both faster and bit-closer to the reference
+_SMALL_BATCH = 256
+
+
+def _small_batch_cpu_device():
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
 def _fit_many_host(
     dimension,
     xk,
@@ -72,7 +88,42 @@ def _fit_many_host(
     into the caller's arrays (after the full batch completes — preserving the
     reference's aliasing guarantee that fk may view the fi array,
     reference: wlsqm/fitter/simple.pyx:1010-1016).
+
+    Small batches run on the host CPU backend even when an accelerator is
+    the default: below a few hundred cases the accelerator round-trip
+    latency dominates, and native f64 on CPU reproduces the reference's
+    roundoff more closely than emulated f64.
     """
+    if np.asarray(xk).shape[0] < _SMALL_BATCH:
+        dev = _small_batch_cpu_device()
+        if dev is not None:
+            import jax
+
+            with jax.default_device(dev):
+                return _fit_many_impl(
+                    dimension, xk, fk, nk, xi, fi, sens, do_sens, order,
+                    knowns, weighting_method, iterative, max_iter, debug)
+    return _fit_many_impl(
+        dimension, xk, fk, nk, xi, fi, sens, do_sens, order, knowns,
+        weighting_method, iterative, max_iter, debug)
+
+
+def _fit_many_impl(
+    dimension,
+    xk,
+    fk,
+    nk,
+    xi,
+    fi,
+    sens,
+    do_sens,
+    order,
+    knowns,
+    weighting_method,
+    iterative,
+    max_iter,
+    debug,
+):
     xk = np.asarray(xk, dtype=np.float64)
     fk = np.asarray(fk, dtype=np.float64)
     nk = np.asarray(nk, dtype=np.int32)

@@ -147,13 +147,17 @@ def fit_many(
         from wlsqm_tpu.ops import pallas_fit
 
         on_cpu = jax.default_backend() == "cpu"
+        # auto additionally demands overdetermination margin: near-determined
+        # systems (K close to the DOF count) are ill-conditioned enough that
+        # the ds accuracy floor becomes visible; route those to f64 instead
+        margin_ok = K >= (3 * NO) // 2
         eligible = (
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
                                  np.asarray(weighting), K=K)
             and not do_sens and not iterative and not debug
             and fi_init is None
             # on CPU the kernel only runs interpreted (slow); auto avoids it
-            and (backend == "pallas" or not on_cpu)
+            and (backend == "pallas" or (not on_cpu and margin_ok))
         )
         if eligible:
             pad = (-B) % pallas_fit.TILE
@@ -170,6 +174,55 @@ def fit_many(
             nanv = jnp.full((B,), jnp.nan, fi.dtype)
             return FitResult(fi=fi, sens=None, iterations=zeros,
                              cond_scaled=nanv)
+        # mixed orders: group-by-order bucketing (SURVEY §7 — masking is the
+        # semantics, bucketing is the optimization).  Each homogeneous group
+        # big enough to fill a TILE goes through the kernel; the remainder
+        # falls through to the masked XLA path below and results merge.
+        order_np = np.asarray(order)
+        if (backend == "auto" and not on_cpu
+                and not do_sens and not iterative and not debug
+                and fi_init is None
+                and (np.asarray(knowns) == 0).all()
+                and np.asarray(weighting).min() == np.asarray(weighting).max()
+                and order_np.ndim == 1
+                and len(np.unique(order_np)) > 1
+                and K >= (3 * NO) // 2
+                and pallas_fit.vmem_ok(dim, int(order_np.max()), K)):
+            fi_out = jnp.zeros((B, NO), xk.dtype)
+            leftover = np.ones(B, bool)
+            for o in np.unique(order_np):
+                sel = np.nonzero(order_np == o)[0]
+                if len(sel) < pallas_fit.TILE:
+                    continue  # too small to amortize; leave for the XLA pass
+                pad = (-len(sel)) % pallas_fit.TILE
+                idx = np.concatenate([sel, sel[:1].repeat(pad)])
+                fi_g = pallas_fit.fit_pallas(
+                    xk[idx], fk[idx], nk[idx], xi[idx], dimension=dim,
+                    order=int(o),
+                    weighting=int(np.asarray(weighting).max()))[:len(sel)]
+                no_g = defs.number_of_dofs(dim, int(o))
+                fi_out = fi_out.at[jnp.asarray(sel), :no_g].set(fi_g)
+                leftover[sel] = False
+            if not leftover.any():
+                zeros = jnp.zeros((B,), jnp.int32)
+                nanv = jnp.full((B,), jnp.nan, fi_out.dtype)
+                return FitResult(fi=fi_out, sens=None, iterations=zeros,
+                                 cond_scaled=nanv)
+            if leftover.sum() < B:
+                rest = np.nonzero(leftover)[0]
+                rest_res = fit_many(
+                    xk[rest], fk[rest], xi[rest], nk=nk[rest],
+                    order=order_np[rest], knowns=0,
+                    weighting=np.asarray(weighting).max(),
+                    max_order=max_order, backend="xla",
+                    precision=precision, ruiz_max_iter=ruiz_max_iter,
+                    scaling=scaling, solver=solver)
+                fi_out = fi_out.at[jnp.asarray(rest)].set(rest_res.fi)
+                zeros = jnp.zeros((B,), jnp.int32)
+                nanv = jnp.full((B,), jnp.nan, fi_out.dtype)
+                return FitResult(fi=fi_out, sens=None, iterations=zeros,
+                                 cond_scaled=nanv)
+
         if backend == "pallas":
             raise ValueError(
                 "backend='pallas' requires a homogeneous batch (single "

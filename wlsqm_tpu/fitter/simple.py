@@ -150,8 +150,10 @@ def _fit_many_impl(
 
         from wlsqm_tpu.ops import pallas_fit
 
+        NOmax = defs.number_of_dofs(dimension, int(order.max()))
         if (jax.default_backend() != "cpu"
                 and B >= pallas_fit.TILE
+                and K >= (3 * NOmax) // 2   # conditioning margin, see api
                 and pallas_fit.supported(dimension, order, knowns,
                                          weighting_method, K=K)):
             pad = (-B) % pallas_fit.TILE

@@ -41,7 +41,12 @@ sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 TILE_S, TILE_L = 8, 128
 TILE = TILE_S * TILE_L          # cases per grid step
-DS_REFINE_STEPS = 2   # total sweeps = refine_steps + 1 (first sweep is the solve)
+# total sweeps = refine_steps + 1 (first sweep is the solve).  4 extra
+# sweeps reach the ds residual floor (cond × ~1e-13) even on clouds where
+# the f32 preconditioner converges slowly (cond ≈ 1e5: measured 1.4e-5 at
+# 2 steps vs 3.6e-8 at 4 on a radius-0.57 order-4 K=24 batch); the sweeps
+# are VMEM-resident matvecs, a small fraction of the kernel's runtime.
+DS_REFINE_STEPS = 4
 
 __all__ = ["fit_pallas", "supported"]
 

@@ -80,3 +80,31 @@ def test_supported_predicate():
     assert not supported(2, np.full(4, 2), np.array([1, 0, 0, 0]),
                          np.full(4, 1))
     assert not supported(2, np.full(4, 2), np.zeros(4), np.array([1, 2, 1, 1]))
+
+
+def test_recompute_basis_variant(rng, monkeypatch):
+    """The no-store variant (basis recomputed per matvec) matches the stored
+    one; it is what makes 3D order-4 (NO=35) fit in VMEM."""
+    from wlsqm_tpu.ops import pallas_fit
+
+    # 3D order-4 at a realistic K no longer fits with stored basis rows,
+    # but is eligible via recomputation
+    assert not pallas_fit._store_basis(3, 4, 48)
+    assert pallas_fit.vmem_ok(3, 4, 48)
+    assert pallas_fit.supported(3, np.full(2, 4), np.zeros(2), np.zeros(2),
+                                K=48)
+
+    # K=13 is a shape no other test uses, so the jitted fit_pallas retraces
+    # and picks up the monkeypatched store decision
+    xk, fk, nk, xi = _problem(rng, TILE, K=13)
+    monkeypatch.setattr(pallas_fit, "_store_basis", lambda *a: False)
+    got = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
+                                weighting=defs.WEIGHT_CENTER, interpret=True))
+    NO = 6
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
+        jnp.full((TILE,), 2, jnp.int32), jnp.zeros((TILE,), jnp.int64),
+        jnp.full((TILE,), defs.WEIGHT_CENTER, jnp.int32),
+        dimension=2, NO=NO)
+    rel = np.abs(got - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
+    assert rel < 5e-6

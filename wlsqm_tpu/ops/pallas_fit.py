@@ -51,18 +51,33 @@ DS_REFINE_STEPS = 4
 __all__ = ["fit_pallas", "supported"]
 
 
-def vmem_ok(dimension: int, order: int, K: int) -> bool:
-    """Whether the kernel's per-block scratch fits in VMEM (~16 MB/core).
-
-    Dominant scratch: the stored ds basis (K, NO) tile pairs plus A/L and
-    input blocks; budgeted against ~12 MB to leave room for Mosaic's own
-    buffers.
-    """
+def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool) -> int:
     NO = defs.number_of_dofs(dimension, order)
     tile_bytes = TILE_S * TILE_L * 4
-    scratch = (2 * K * NO + 2 * NO * NO + 2 * NO + 2 * K) * tile_bytes
+    # scratch: A (NO,NO) + b pair + w pair (+ stored ds basis when it fits);
+    # the Cholesky factor lives in registers/spills, not a dedicated buffer
+    scratch = (NO * NO + 2 * NO + 2 * K) * tile_bytes
+    if store_basis:
+        scratch += 2 * K * NO * tile_bytes
     inputs = (2 * K * dimension + 2 * K + K + 1) * tile_bytes
-    return scratch + inputs < 12 * 1024 * 1024
+    outputs = 2 * NO * tile_bytes
+    return scratch + inputs + outputs
+
+
+def _store_basis(dimension: int, order: int, K: int) -> bool:
+    """Store the ds basis rows in VMEM (fast matvecs) when they fit."""
+    return _vmem_bytes(dimension, order, K, True) < 12 * 1024 * 1024
+
+
+def vmem_ok(dimension: int, order: int, K: int) -> bool:
+    """Whether the kernel's per-block state fits in VMEM (~16 MB/core).
+
+    Two variants: basis rows stored in VMEM scratch (fastest), or
+    recomputed from the offsets inside each refinement matvec (fits the
+    big 3D order-4 NO=35 systems).  Budgeted against ~12 MB to leave room
+    for Mosaic's own buffers.
+    """
+    return _vmem_bytes(dimension, order, K, False) < 12 * 1024 * 1024
 
 
 def supported(dimension: int, order, knowns, weighting, K: int | None = None
@@ -124,7 +139,7 @@ def _basis_cols_ds(delta_cols, exp, invfact_pairs):
 
 
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
-                 refine_steps: int):
+                 refine_steps: int, store_basis: bool):
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
     deg = tables.DEGREE[dimension][:NO]
@@ -137,8 +152,8 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
     def kernel(dhi_ref, dlo_ref, fkhi_ref, fklo_ref, kmask_ref, invs_ref,
                xhi_ref, xlo_ref,
-               A_ref, L_ref, bhi_ref, blo_ref, chi_ref, clo_ref,
-               whi_ref, wlo_ref):
+               A_ref, bhi_ref, blo_ref, whi_ref, wlo_ref, *c_refs):
+        chi_ref, clo_ref = c_refs if store_basis else (None, None)
         zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
         inv_s = invs_ref[...]   # exact power of two, computed host-side so
                                 # the f64 de-scaling outside matches exactly
@@ -167,12 +182,16 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         bhi_ref[...] = jnp.zeros_like(bhi_ref)
         blo_ref[...] = jnp.zeros_like(blo_ref)
 
-        def asm_body(k, _):
+        def basis_at(k):
+            """Radius-scaled ds basis row for neighbor k (recomputable)."""
             dcols = []
             for a in range(dimension):
                 d = tf.mul_f32((dhi_ref[k, a], dlo_ref[k, a]), inv_s)
                 dcols.append(d)
-            c = _basis_cols_ds(dcols, exp, invfact_pairs)
+            return dcols, _basis_cols_ds(dcols, exp, invfact_pairs)
+
+        def asm_body(k, _):
+            dcols, c = basis_at(k)
             # weights (ds for parity of the problem definition)
             if weighting == defs.WEIGHT_CENTER:
                 d2 = (zero, zero)
@@ -197,10 +216,12 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             m = kmask_ref[k]
             w = (jnp.where(m > 0, w[0], 0.0), jnp.where(m > 0, w[1], 0.0))
             wf = tf.mul(w, (fkhi_ref[k], fklo_ref[k]))
-            # store c (pair) and w for the refinement matvecs
-            for j in range(NO):
-                chi_ref[k, j] = c[j][0]
-                clo_ref[k, j] = c[j][1]
+            # store c (pair, when VMEM allows) and w for the refinement
+            # matvecs; otherwise the matvec recomputes the basis row
+            if store_basis:
+                for j in range(NO):
+                    chi_ref[k, j] = c[j][0]
+                    clo_ref[k, j] = c[j][1]
             whi_ref[k] = w[0]
             wlo_ref[k] = w[1]
             # A += w * c cT (f32); b += w * fk * c (ds)
@@ -226,6 +247,8 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             for mcol in range(j, NO):
                 Asc[j][mcol] = A_ref[j, mcol] * (s[j] * s[mcol])
 
+        # the factor stays in traced values (Mosaic registers / spills);
+        # a dedicated VMEM buffer would double the NO² footprint for nothing
         L = [[None] * (i + 1) for i in range(NO)]
         for j in range(NO):
             acc = Asc[j][j]
@@ -239,9 +262,6 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 for kk in range(j):
                     t = t - L[i][kk] * L[j][kk]
                 L[i][j] = t * invd
-        for i in range(NO):
-            for j in range(i + 1):
-                L_ref[i, j] = L[i][j]
 
         def chol_solve(rhs):
             """Unrolled f32 solve of (scaled A) x = rhs; rhs list of tiles."""
@@ -249,14 +269,14 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             for i in range(NO):
                 t = rhs[i]
                 for kk in range(i):
-                    t = t - L_ref[i, kk] * y[kk]
-                y[i] = t / L_ref[i, i]
+                    t = t - L[i][kk] * y[kk]
+                y[i] = t / L[i][i]
             x = [None] * NO
             for i in range(NO - 1, -1, -1):
                 t = y[i]
                 for kk in range(i + 1, NO):
-                    t = t - L_ref[kk, i] * x[kk]
-                x[i] = t / L_ref[i, i]
+                    t = t - L[kk][i] * x[kk]
+                x[i] = t / L[i][i]
             return x
 
         # ---- solve + ds refinement, starting from x = 0 so the initial
@@ -271,15 +291,17 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             sx = [tf.mul_f32(xs[j], s[j]) for j in range(NO)]
 
             def matvec_body(k, acc):
+                if store_basis:
+                    c = [(chi_ref[k, j], clo_ref[k, j]) for j in range(NO)]
+                else:
+                    _, c = basis_at(k)
                 t = (zero, zero)
                 for j in range(NO):
-                    t = tf.add(t, tf.mul((chi_ref[k, j], clo_ref[k, j]),
-                                         sx[j]))
+                    t = tf.add(t, tf.mul(c[j], sx[j]))
                 t = tf.mul(t, (whi_ref[k], wlo_ref[k]))
                 new = []
                 for j in range(NO):
-                    aj = tf.add((acc[0][j], acc[1][j]),
-                                tf.mul((chi_ref[k, j], clo_ref[k, j]), t))
+                    aj = tf.add((acc[0][j], acc[1][j]), tf.mul(c[j], t))
                     new.append(aj)
                 return ([a[0] for a in new], [a[1] for a in new])
 
@@ -322,8 +344,9 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     B, K, _ = xk.shape
     assert B % TILE == 0, "pad the batch to a multiple of %d" % TILE
     nblk = B // TILE
+    store_basis = _store_basis(dimension, order, K)
     kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
-                                   refine_steps)
+                                   refine_steps, store_basis)
 
     # host-side (XLA) preprocessing: ds split + tile layout
     delta = xk - xi[:, None, :]
@@ -378,14 +401,16 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     )
     scratch = [
         pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32),   # A
-        pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32),   # L
         pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32),       # b hi
         pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32),       # b lo
-        pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),    # c hi
-        pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),    # c lo
         pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32),        # w hi
         pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32),        # w lo
     ]
+    if store_basis:
+        scratch += [
+            pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),  # c hi
+            pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),  # c lo
+        ]
 
     xhi_t, xlo_t = pl.pallas_call(
         kernel,

@@ -105,3 +105,44 @@ def test_interpolation_during_refinement_consistency(rng):
                         debug=False)
     vals = wt.interpolate_fit(np.zeros(2), fi, 2, 2, xk, diff=wt.i2_F)
     np.testing.assert_allclose(vals, fk, atol=1e-11)
+
+
+def test_interpolate_continuous_matches_expert_host_path(rng):
+    """Device-side continuous blending == ExpertSolver's host-tree version."""
+    from wlsqm_tpu.fitter.interp import interpolate_continuous
+    from wlsqm_tpu.fitter.expert import ExpertSolver
+
+    f, _ = quadratic_2d()
+    B, K = 64, 16
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    fk = f(xk.reshape(-1, 2)).reshape(B, K)
+
+    solver = ExpertSolver(
+        dimension=2, nk=np.full(B, K, np.int32),
+        order=np.full(B, 2, np.int32), knowns=np.zeros(B, np.int64),
+        weighting_method=np.full(B, wt.WEIGHT_UNIFORM, np.int32))
+    solver.prepare(xi=xi, xk=xk)
+    fi = np.zeros((B, 6))
+    solver.solve(fk=fk, fi=fi)
+    solver.prep_interpolate()
+
+    q = rng.uniform(-0.9, 0.9, (37, 2))
+    r = 0.55
+    ref, _ = solver.interpolate(q, mode="continuous", r=r, diff=wt.i2_F)
+
+    num, den = interpolate_continuous(fi, xi, q, r, dimension=2, order=2,
+                                      diff=wt.i2_F, block_q=16, block_b=32)
+    got = np.asarray(num) / np.asarray(den)
+    mask = np.isfinite(ref)
+    assert mask.any()
+    np.testing.assert_allclose(got[mask], ref[mask], rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.isfinite(got), mask)
+
+    # derivative blending too
+    ref_x, _ = solver.interpolate(q, mode="continuous", r=r, diff=wt.i2_X)
+    num, den = interpolate_continuous(fi, xi, q, r, dimension=2, order=2,
+                                      diff=wt.i2_X)
+    got_x = np.asarray(num) / np.asarray(den)
+    np.testing.assert_allclose(got_x[mask], ref_x[mask], rtol=1e-12,
+                               atol=1e-12)

@@ -113,3 +113,22 @@ def test_sharded_pallas_equals_single_device(rng):
     fi_1 = fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
                       weighting=wt.WEIGHT_UNIFORM, interpret=True)
     np.testing.assert_array_equal(np.asarray(fi_sh), np.asarray(fi_1))
+
+
+def test_sharded_interpolate_continuous(rng):
+    """Sharded blending (with psum) == single-device functional result."""
+    from wlsqm_tpu.fitter.interp import interpolate_continuous
+
+    B = 61  # deliberately not divisible by the 8-device mesh
+    xi = rng.uniform(-1, 1, (B, 2))
+    fi = rng.normal(size=(B, 6))
+    q = rng.uniform(-0.9, 0.9, (23, 2))
+    r = 0.6
+
+    num, den = interpolate_continuous(fi, xi, q, r, dimension=2, order=2)
+    want = np.asarray(num) / np.asarray(den)
+
+    mesh = sharding.make_mesh()
+    got = np.asarray(sharding.sharded_interpolate_continuous(
+        mesh, fi, xi, q, r, dimension=2, order=2))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)

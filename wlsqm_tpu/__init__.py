@@ -30,7 +30,11 @@ from wlsqm_tpu import config as _config  # noqa: F401  (enables x64 first)
 
 from wlsqm_tpu.fitter.defs import *  # noqa: F401,F403  constants + number_of_dofs
 from wlsqm_tpu.fitter.simple import *  # noqa: F401,F403  fit_* family
-from wlsqm_tpu.fitter.interp import interpolate_fit, lambdify_fit  # noqa: F401
+from wlsqm_tpu.fitter.interp import (  # noqa: F401
+    interpolate_fit,
+    lambdify_fit,
+    interpolate_continuous,
+)
 from wlsqm_tpu.fitter.expert import ExpertSolver  # noqa: F401
 from wlsqm_tpu.api import (  # noqa: F401
     fit,

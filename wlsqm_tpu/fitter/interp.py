@@ -25,7 +25,8 @@ import numpy as np
 from wlsqm_tpu.fitter import defs, tables
 from wlsqm_tpu.fitter.engine import basis
 
-__all__ = ["interpolate_fit", "lambdify_fit", "eval_fit", "interpolate_many"]
+__all__ = ["interpolate_fit", "lambdify_fit", "eval_fit", "interpolate_many",
+           "interpolate_continuous"]
 
 
 @partial(jax.jit, static_argnames=("dimension", "order", "diff"))
@@ -51,6 +52,72 @@ def interpolate_many(fi, xi, x, *, dimension: int, order: int, diff: int = 0):
     fi (B, no), xi (B, dim), x (B, n, dim) -> (B, n).
     """
     return eval_fit(fi, xi, x, dimension=dimension, order=order, diff=diff)
+
+
+@partial(jax.jit, static_argnames=("dimension", "order", "diff",
+                                   "block_q", "block_b"))
+def interpolate_continuous(fi, xi, x, r, *, dimension: int, order: int,
+                           diff: int = 0, valid=None,
+                           block_q: int = 256, block_b: int = 2048):
+    """Continuous patched-model interpolation, fully on device.
+
+    Blends every local model whose origin lies within radius ``r`` of the
+    query point, weighted by ``(1 - sqrt(d²/r²))²`` (zero at r), matching
+    the reference's 'continuous' mode (reference:
+    wlsqm/fitter/expert.pyx:898-986) — but with no host k-d tree: the
+    radius test is a mask over a blocked brute-force distance sweep, so the
+    whole evaluation jits and shards (see
+    :func:`wlsqm_tpu.parallel.sharded_interpolate_continuous`).
+
+    fi (B, no) | xi (B, dim) | x (Q, dim) | r scalar.
+    valid: optional (B,) bool — models to include (lets callers pad B).
+    Returns (num, den): the weighted sum and total weight per query; the
+    blended value is ``num / den`` (NaN where no model is in range, as in
+    the host path).  Returning the pair keeps the function psum-friendly.
+    """
+    no = defs.number_of_dofs(dimension, order)
+    P = tables.diff_projection(dimension, diff)[:no, :no]
+    fi = jnp.asarray(fi)
+    coeff = fi[..., :no] @ jnp.asarray(P.T, fi.dtype)       # (B, no)
+    xi = jnp.asarray(xi)
+    x = jnp.asarray(x)
+    B, Q = xi.shape[0], x.shape[0]
+    vmask = (jnp.ones((B,), bool) if valid is None
+             else jnp.asarray(valid, bool))
+
+    pad_q = (-Q) % block_q
+    pad_b = (-B) % block_b
+    xq = jnp.concatenate([x, jnp.zeros((pad_q, x.shape[1]), x.dtype)])
+    xib = jnp.concatenate([xi, jnp.zeros((pad_b, xi.shape[1]), xi.dtype)])
+    cb = jnp.concatenate([coeff, jnp.zeros((pad_b, no), coeff.dtype)])
+    vb = jnp.concatenate([vmask, jnp.zeros((pad_b,), bool)])
+
+    nq, nb = xq.shape[0] // block_q, xib.shape[0] // block_b
+    xq_blocks = xq.reshape(nq, block_q, -1)
+    xi_blocks = xib.reshape(nb, block_b, -1)
+    c_blocks = cb.reshape(nb, block_b, no)
+    v_blocks = vb.reshape(nb, block_b)
+    r2 = jnp.asarray(r, x.dtype) ** 2
+
+    def q_step(xq_blk):
+        def b_step(acc, blk):
+            xi_blk, c_blk, v_blk = blk
+            delta = xq_blk[:, None, :] - xi_blk[None, :, :]
+            c = basis(delta, dimension, no)                 # (bq, bb, no)
+            vals = jnp.einsum("qbj,bj->qb", c, c_blk)
+            d2 = jnp.sum(delta * delta, -1)
+            t = 1.0 - jnp.sqrt(jnp.minimum(d2 / r2, 1.0))
+            w = jnp.where(v_blk[None, :], t * t, 0.0)
+            num, den = acc
+            return (num + jnp.sum(w * vals, -1), den + jnp.sum(w, -1)), None
+
+        z = jnp.zeros((block_q,), x.dtype)
+        (num, den), _ = jax.lax.scan(
+            b_step, (z, z), (xi_blocks, c_blocks, v_blocks))
+        return num, den
+
+    num, den = jax.lax.map(q_step, xq_blocks)
+    return num.reshape(-1)[:Q], den.reshape(-1)[:Q]
 
 
 def interpolate_fit(xi, fi, dimension: int, order: int, x, diff: int = 0):

@@ -167,3 +167,47 @@ def replicated_coefficients(mesh: Mesh, fi, axis_name: str = CASE_AXIS):
         check_vma=False,
     )
     return jax.jit(fn)(jnp.asarray(fi))
+
+
+def sharded_interpolate_continuous(mesh: Mesh, fi, xi, x, r, *,
+                                   dimension: int, order: int, diff: int = 0,
+                                   axis_name: str = CASE_AXIS):
+    """Continuous patched-model interpolation over a sharded cloud.
+
+    The local models (fi, xi) are sharded over the mesh's case axis; the
+    query points replicate.  Each shard blends its own models into partial
+    (weighted-sum, weight) accumulators with
+    :func:`wlsqm_tpu.fitter.interp.interpolate_continuous`, and one ``psum``
+    pair over ICI combines them — the only collective in the pipeline.
+    Device-side replacement for the reference's host-side radius-query
+    blending (reference: wlsqm/fitter/expert.pyx:898-986).
+
+    fi (B, no) | xi (B, dim) | x (Q, dim) | r scalar.
+    Returns (Q,) blended values (NaN where no model is within r).
+    """
+    from wlsqm_tpu.fitter.interp import interpolate_continuous
+
+    n = mesh.devices.size
+    B = np.asarray(xi).shape[0]
+    Bp = pad_cases(B, n)
+    fi = jnp.asarray(fi)
+    xi = jnp.asarray(xi)
+    valid = jnp.arange(Bp) < B
+    if Bp != B:
+        fi = jnp.concatenate([fi, jnp.zeros((Bp - B, fi.shape[1]), fi.dtype)])
+        xi = jnp.concatenate([xi, jnp.zeros((Bp - B, xi.shape[1]), xi.dtype)])
+
+    def local(fi_s, xi_s, v_s, xq):
+        num, den = interpolate_continuous(
+            fi_s, xi_s, xq, r, dimension=dimension, order=order, diff=diff,
+            valid=v_s)
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+        return num / den
+
+    spec = P(axis_name)
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec, P()), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(fi, xi, valid, jnp.asarray(x))

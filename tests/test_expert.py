@@ -185,3 +185,28 @@ def test_memory_used_reports_bytes(rng):
     es.prepare(xi=np.zeros((3, 2)), xk=rng.uniform(-1, 1, (3, 20, 2)))
     used, total = es.memory_used()
     assert used == total and used > 0
+
+
+def test_conds_estimate_matches_debug(rng):
+    """Power-iteration estimates track the SVD condition numbers."""
+    B, K = 32, 18
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+
+    kw = dict(dimension=2, nk=np.full(B, K, np.int32),
+              order=np.full(B, 2, np.int32), knowns=np.zeros(B, np.int64),
+              weighting_method=np.full(B, wt.WEIGHT_UNIFORM, np.int32))
+    dbg = wt.ExpertSolver(debug=True, **kw)
+    dbg.prepare(xi=xi, xk=xk)
+    exact = dbg.conds()
+
+    plain = wt.ExpertSolver(**kw)
+    plain.prepare(xi=xi, xk=xk)
+    with pytest.raises(RuntimeError):
+        plain.conds()           # reference behavior preserved
+    est = plain.conds(estimate=True)
+
+    assert est.shape == exact.shape
+    # power iteration gives a lower bound converging from below
+    assert np.all(est <= exact * 1.01)
+    assert np.all(est >= exact * 0.5), (est / exact).min()

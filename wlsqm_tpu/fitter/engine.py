@@ -438,6 +438,47 @@ def _solve_scaled(prep: Prepared, b: jax.Array) -> jax.Array:
     return x
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def cond_estimate(prep: Prepared, iters: int = 20) -> jax.Array:
+    """Cheap per-case 2-norm condition estimates of the scaled matrices.
+
+    The reference only exposes condition numbers in debug mode, where they
+    are computed by full SVDs during prepare (reference:
+    wlsqm/fitter/impl.pyx:661-682, wlsqm/fitter/expert.pyx:429-464).  This
+    estimator instead runs ``iters`` rounds of batched power iteration
+    (λmax, through the stored basis rows) and inverse iteration (1/λmin,
+    through the stored factorization), so it works on any prepared batch —
+    no debug mode, no O(n³) SVD — at the cost of being an estimate (a lower
+    bound that is typically within a few percent for SPD spectra).
+
+    Returns (B,) estimates of cond₂(A_scaled).
+    """
+    B, n = prep.active.shape
+    dtype = prep.row_scale.dtype
+    # deterministic dense start vector, unlikely to be orthogonal to the
+    # extremal eigenvectors
+    v0 = jnp.cos(jnp.arange(n, dtype=dtype) * 0.7) + jnp.float64(0.3).astype(dtype)
+    v0 = jnp.broadcast_to(v0, (B, n))[..., None]
+
+    def _norm(x):
+        return jnp.sqrt(jnp.sum(x * x, axis=(-2, -1), keepdims=True))
+
+    def pow_body(_, v):
+        w = _matvec_scaled(prep, v)
+        return w / jnp.maximum(_norm(w), 1e-300)
+
+    v = lax.fori_loop(0, iters, pow_body, v0)
+    lmax = _norm(_matvec_scaled(prep, v))[..., 0, 0]
+
+    def inv_body(_, v):
+        w = _solve_scaled(prep, v)
+        return w / jnp.maximum(_norm(w), 1e-300)
+
+    u = lax.fori_loop(0, iters, inv_body, v0)
+    inv_lmin = _norm(_solve_scaled(prep, u))[..., 0, 0]
+    return lmax * inv_lmin
+
+
 def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool = False):
     """Fit the model against data ``fk`` using prepared geometry.
 

@@ -227,16 +227,23 @@ class ExpertSolver:
         )
         self.ready = True
 
-    def conds(self):
+    def conds(self, estimate=False):
         """Per-case 2-norm condition numbers of the scaled problem matrices.
 
         Requires ``debug=True`` and a prior :meth:`prepare`
         (reference: wlsqm/fitter/expert.pyx:429-464).
+
+        ``estimate=True`` (extension): return cheap power-iteration
+        estimates from the prepared factorizations instead — available
+        without debug mode and without the O(n³) SVDs
+        (:func:`wlsqm_tpu.fitter.engine.cond_estimate`).
         """
         if not self.ready:
             raise RuntimeError(
                 "Solver is not in the ready state; prepare() must be called "
                 "before conds()")
+        if estimate:
+            return np.asarray(engine.cond_estimate(self.prepared))
         if not self.debug:
             raise RuntimeError(
                 "Not in debug mode; condition number data has not been computed")

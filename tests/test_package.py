@@ -72,3 +72,30 @@ def test_number_of_reduced_dofs():
     assert number_of_reduced_dofs(6, 0) == 6
     assert number_of_reduced_dofs(6, wt.b2_F) == 5
     assert number_of_reduced_dofs(6, wt.b2_F | wt.b2_XY) == 4
+
+
+def test_fit_stream_matches_fit_many(rng):
+    """Chunked streaming == one-shot batch, including a ragged last chunk."""
+    import numpy as np
+
+    B, K = 300, 12
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    fk = np.sin(xk[..., 0]) + xk[..., 1]
+
+    want = np.asarray(wt.fit_many(xk, fk, xi, order=2).fi)
+    got = wt.fit_stream(xk, fk, xi, order=2, chunk=128)
+    assert isinstance(got.fi, np.ndarray)
+    np.testing.assert_allclose(got.fi, want, rtol=0, atol=1e-12)
+
+    # per-case parameter arrays are sliced along with the geometry
+    order = np.full(B, 2, np.int32)
+    want2 = np.asarray(wt.fit_many(xk, fk, xi, order=order).fi)
+    got2 = wt.fit_stream(xk, fk, xi, order=order, chunk=128)
+    np.testing.assert_allclose(got2.fi, want2, rtol=0, atol=1e-12)
+
+    # preallocated output buffer
+    out = np.empty((B, 6))
+    res = wt.fit_stream(xk, fk, xi, order=2, chunk=128, out=out)
+    assert res.fi is out
+    np.testing.assert_allclose(out, want, rtol=0, atol=1e-12)

@@ -39,6 +39,7 @@ from wlsqm_tpu.fitter.expert import ExpertSolver  # noqa: F401
 from wlsqm_tpu.api import (  # noqa: F401
     fit,
     fit_many,
+    fit_stream,
     prepare,
     solve,
     interpolate,

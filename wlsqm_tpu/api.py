@@ -32,7 +32,8 @@ from wlsqm_tpu.fitter import defs, engine
 from wlsqm_tpu.fitter.interp import eval_fit
 from wlsqm_tpu.ops import solve as solve_ops
 
-__all__ = ["FitResult", "fit", "fit_many", "prepare", "solve", "interpolate"]
+__all__ = ["FitResult", "fit", "fit_many", "fit_stream", "prepare",
+           "solve", "interpolate"]
 
 
 @partial(
@@ -245,6 +246,91 @@ def fit_many(
         iterations=iters,
         cond_scaled=cond,
     )
+
+
+def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
+               out=None, **kwargs) -> FitResult:
+    """Fit a cloud larger than device memory, streaming fixed-size chunks.
+
+    Host arrays (NumPy, including ``np.memmap``) are uploaded one
+    ``chunk`` at a time, fitted with :func:`fit_many`, and the solved DOFs
+    land in a host-side output array — only ~two chunks of geometry are
+    ever resident in HBM, so the cloud size is bounded by host storage,
+    not device memory.  The loop keeps one chunk in flight: while chunk i
+    computes (dispatch is asynchronous), chunk i-1's results transfer back,
+    overlapping compute with PCIe/ICI traffic.  The last partial chunk is
+    padded to the full chunk size so every step reuses one compiled
+    program.  (The reference streams nothing — its OpenMP loop assumes the
+    whole problem set fits in RAM; reference: wlsqm/fitter/simple.pyx:953ff.)
+
+    xk (B, K, dim) | fk (B, K) | xi (B, dim) | nk (B,) — host array-likes.
+    chunk: cases per device batch (default 65536).
+    out: optional preallocated (B, NO) f64 array for the DOFs.
+    kwargs: forwarded to :func:`fit_many` (order, weighting, backend, ...);
+    per-case parameter arrays are sliced along with the geometry.
+    ``do_sens``/``debug`` are not supported here (their outputs would not
+    stream); use :func:`fit_many` on a chunk directly.
+
+    Returns a :class:`FitResult` whose fields are host NumPy arrays.
+    """
+    if kwargs.get("do_sens") or kwargs.get("debug"):
+        raise ValueError("fit_stream does not support do_sens/debug; "
+                         "call fit_many on individual chunks instead")
+    xk = np.asarray(xk)
+    if xk.ndim == 2:
+        xk = xk[:, :, None]
+    B, K, dim = xk.shape
+    fk = np.asarray(fk)
+    xi_np = None if xi is None else np.asarray(xi)
+    nk_np = None if nk is None else np.asarray(nk)
+    per_case = {}
+    for key in ("order", "knowns", "weighting", "fi_init"):
+        v = kwargs.get(key)
+        if v is not None and np.ndim(v) >= 1:
+            per_case[key] = np.asarray(v)
+
+    order = kwargs.get("order", 2)
+    max_order = kwargs.get("max_order") or int(np.max(np.asarray(order)))
+    NO = defs.number_of_dofs(dim, max_order)
+    kwargs.setdefault("max_order", max_order)
+
+    fi_out = out if out is not None else np.empty((B, NO), np.float64)
+    if fi_out.shape != (B, NO):
+        raise ValueError("out must have shape (%d, %d)" % (B, NO))
+    iters_out = np.zeros((B,), np.int32)
+
+    def run(lo, hi):
+        n = hi - lo
+        pad = chunk - n
+        def padded(a):
+            if a is None:
+                return None
+            sl = a[lo:hi]
+            if pad:
+                sl = np.concatenate([sl, np.repeat(sl[:1], pad, axis=0)])
+            return sl
+        kw = dict(kwargs)
+        for key, v in per_case.items():
+            kw[key] = padded(v)
+        return fit_many(padded(xk), padded(fk), padded(xi_np),
+                        nk=padded(nk_np), **kw)
+
+    pending = None  # (lo, hi, FitResult) — one chunk in flight
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        res = run(lo, hi)
+        if pending is not None:
+            plo, phi, pres = pending
+            fi_out[plo:phi] = np.asarray(pres.fi)[: phi - plo]
+            iters_out[plo:phi] = np.asarray(pres.iterations)[: phi - plo]
+        pending = (lo, hi, res)
+    if pending is not None:
+        plo, phi, pres = pending
+        fi_out[plo:phi] = np.asarray(pres.fi)[: phi - plo]
+        iters_out[plo:phi] = np.asarray(pres.iterations)[: phi - plo]
+
+    return FitResult(fi=fi_out, sens=None, iterations=iters_out,
+                     cond_scaled=np.full((B,), np.nan))
 
 
 def fit(xk, fk, xi=None, **kwargs) -> FitResult:

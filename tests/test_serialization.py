@@ -1,6 +1,7 @@
 """Prepared-state checkpointing: save -> load -> identical solves."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import wlsqm_tpu as wt
@@ -36,4 +37,24 @@ def test_roundtrip_ds_unrolled(rng, tmp_path):
     save_prepared(path, prep)
     prep2 = load_prepared(path)
     fi2, _ = wt.solve(prep2, fk)
+    np.testing.assert_array_equal(np.asarray(fi1), np.asarray(fi2))
+
+
+def test_orbax_roundtrip(tmp_path, rng):
+    pytest.importorskip("orbax.checkpoint")
+    from wlsqm_tpu.utils.serialization import (save_prepared_orbax,
+                                               load_prepared_orbax)
+
+    B, K = 16, 12
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    prep = wt.prepare(xk, xi, order=2)
+
+    path = str(tmp_path / "ckpt")
+    save_prepared_orbax(path, prep)
+    back = load_prepared_orbax(path)
+
+    fk = np.sin(xk[..., 0])
+    fi1, _ = wt.solve(prep, fk)
+    fi2, _ = wt.solve(back, fk)
     np.testing.assert_array_equal(np.asarray(fi1), np.asarray(fi2))

@@ -132,3 +132,66 @@ def test_sharded_interpolate_continuous(rng):
     got = np.asarray(sharding.sharded_interpolate_continuous(
         mesh, fi, xi, q, r, dimension=2, order=2))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_sharded_knn_matches_single_device(rng):
+    from wlsqm_tpu.utils import neighbors
+
+    N, M, k = 203, 45, 7  # neither divisible by 8
+    pts = rng.uniform(-1, 1, (N, 2))
+    q = rng.uniform(-1, 1, (M, 2))
+
+    idx1, d1 = neighbors.knn(pts, q, k, backend="tpu")
+    mesh = sharding.make_mesh()
+    idx2, d2 = sharding.sharded_knn(mesh, pts, q, k)
+
+    # index sets per query must agree (ordering of exact ties may differ)
+    for a, b in zip(np.asarray(idx1), np.asarray(idx2)):
+        assert set(a.tolist()) == set(b.tolist())
+    np.testing.assert_allclose(np.sort(np.asarray(d2), -1),
+                               np.sort(np.asarray(d1), -1), rtol=1e-12)
+
+
+def test_sharded_build_neighborhoods_pipeline(rng):
+    """cloud -> sharded neighborhoods -> sharded fit == host pipeline."""
+    from wlsqm_tpu.utils import neighbors
+    import wlsqm_tpu as wt
+
+    N, k = 160, 12
+    pts = rng.uniform(-1, 1, (N, 2))
+    vals = np.sin(pts[:, 0]) + pts[:, 1] ** 2
+
+    mesh = sharding.make_mesh()
+    xk, fk, nk = sharding.sharded_build_neighborhoods(
+        mesh, pts, vals, pts, k, exclude_self=True)
+    res = wt.fit_many(np.asarray(xk) - pts[:, None, :], fk,
+                      np.zeros((N, 2)), nk=nk, order=2)
+
+    xk0, fk0, nk0 = neighbors.build_neighborhoods(pts, vals, pts, k,
+                                                  exclude_self=True)
+    ref = wt.fit_many(np.asarray(xk0) - pts[:, None, :], fk0,
+                      np.zeros((N, 2)), nk=nk0, order=2)
+    np.testing.assert_allclose(np.asarray(res.fi), np.asarray(ref.fi),
+                               rtol=0, atol=1e-9)
+
+
+def test_sharded_interpolate_nearest(rng):
+    from wlsqm_tpu.fitter.interp import eval_fit
+    from wlsqm_tpu.utils.neighbors import _knn_device
+    import jax.numpy as jnp
+
+    B, Q = 51, 29
+    xi = rng.uniform(-1, 1, (B, 2))
+    fi = rng.normal(size=(B, 6))
+    q = rng.uniform(-1, 1, (Q, 2))
+
+    mesh = sharding.make_mesh()
+    got = np.asarray(sharding.sharded_interpolate_nearest(
+        mesh, fi, xi, q, dimension=2, order=2))
+
+    idx, _ = _knn_device(jnp.asarray(xi), jnp.asarray(q), 1)
+    idx = np.asarray(idx)[:, 0]
+    want = np.asarray(eval_fit(jnp.asarray(fi)[idx], jnp.asarray(xi)[idx],
+                               jnp.asarray(q)[:, None, :],
+                               dimension=2, order=2))[:, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)

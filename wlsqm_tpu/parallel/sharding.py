@@ -211,3 +211,116 @@ def sharded_interpolate_continuous(mesh: Mesh, fi, xi, x, r, *,
         check_vma=False,
     )
     return jax.jit(fn)(fi, xi, valid, jnp.asarray(x))
+
+
+def _pad_leading(a, n_target):
+    pad = n_target - a.shape[0]
+    if pad == 0:
+        return a
+    return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+
+
+def sharded_knn(mesh: Mesh, points, queries, k: int,
+                axis_name: str = CASE_AXIS):
+    """k-NN over a cloud sharded across the mesh.
+
+    The collective pattern SURVEY §5 calls for when building neighborhoods
+    from a distributed cloud: each shard all-gathers the (small) coordinate
+    array over ICI once, then answers its own query shard with the local
+    brute-force MXU ranking (:func:`wlsqm_tpu.utils.neighbors.knn`'s device
+    path).  Queries and results are sharded; points may arrive sharded or
+    replicated (they are gathered either way).
+
+    Returns (indices (M, k) int64 into the GLOBAL cloud, distances² (M, k)).
+    """
+    from wlsqm_tpu.utils.neighbors import _knn_device
+
+    n = mesh.devices.size
+    points = jnp.asarray(points)
+    queries = jnp.asarray(queries)
+    M = queries.shape[0]
+    Mp = pad_cases(M, n)
+    Np = pad_cases(points.shape[0], n)
+    # pad the cloud with far-away sentinels so gathered padding never wins
+    if Np != points.shape[0]:
+        sentinel = jnp.full((Np - points.shape[0], points.shape[1]),
+                            jnp.finfo(jnp.float32).max / 4, points.dtype)
+        points = jnp.concatenate([points, sentinel])
+    queries_p = _pad_leading(queries, Mp)
+
+    def local(p_s, q_s):
+        p_all = jax.lax.all_gather(p_s, axis_name, axis=0, tiled=True)
+        return _knn_device(p_all, q_s, k)
+
+    spec = P(axis_name)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=(spec, spec), check_vma=False)
+    idx, d2 = jax.jit(fn, static_argnames=())(points, queries_p)
+    return idx[:M], d2[:M]
+
+
+def sharded_build_neighborhoods(mesh: Mesh, points, values, centers, k: int,
+                                exclude_self: bool = False,
+                                axis_name: str = CASE_AXIS):
+    """Distributed neighborhood assembly: sharded centers, global cloud.
+
+    Composes with :func:`sharded_fit_many` into a fully distributed
+    pipeline: cloud in, per-shard (xk, fk, nk) out, zero host round-trips.
+    Single-device equivalent:
+    :func:`wlsqm_tpu.utils.neighbors.build_neighborhoods`.
+    """
+    kq = k + 1 if exclude_self else k
+    idx, _ = sharded_knn(mesh, points, centers, kq, axis_name=axis_name)
+    if exclude_self:
+        idx = idx[:, 1:]
+    points = jnp.asarray(points)
+    values = jnp.asarray(values)
+    xk = points[idx]
+    fk = values[idx]
+    nk = jnp.full((idx.shape[0],), k, jnp.int32)
+    return xk, fk, nk
+
+
+def sharded_interpolate_nearest(mesh: Mesh, fi, xi, x, *, dimension: int,
+                                order: int, diff: int = 0,
+                                axis_name: str = CASE_AXIS):
+    """Voronoi-nearest global-model evaluation over a sharded cloud.
+
+    Local models (fi, xi) are sharded; query points are sharded too.  Each
+    shard all-gathers the small coefficient/origin arrays (the layout
+    :func:`replicated_coefficients` argues for), picks the nearest origin
+    per local query by brute force, and evaluates that model.  Device-side
+    counterpart of ExpertSolver.interpolate(mode='nearest') (reference:
+    wlsqm/fitter/expert.pyx:830-895).
+
+    Returns (Q,) values.
+    """
+    from wlsqm_tpu.fitter.interp import eval_fit
+    from wlsqm_tpu.utils.neighbors import _knn_device
+
+    n = mesh.devices.size
+    fi = jnp.asarray(fi)
+    xi = jnp.asarray(xi)
+    x = jnp.asarray(x)
+    B, Q = xi.shape[0], x.shape[0]
+    Bp, Qp = pad_cases(B, n), pad_cases(Q, n)
+    if Bp != B:
+        fi = _pad_leading(fi, Bp)
+        sentinel = jnp.full((Bp - B, xi.shape[1]),
+                            jnp.finfo(jnp.float32).max / 4, xi.dtype)
+        xi = jnp.concatenate([xi, sentinel])
+    xq = _pad_leading(x, Qp)
+
+    def local(fi_s, xi_s, q_s):
+        fi_all = jax.lax.all_gather(fi_s, axis_name, axis=0, tiled=True)
+        xi_all = jax.lax.all_gather(xi_s, axis_name, axis=0, tiled=True)
+        idx, _ = _knn_device(xi_all, q_s, 1)
+        idx = idx[:, 0]
+        vals = eval_fit(fi_all[idx], xi_all[idx], q_s[:, None, :],
+                        dimension=dimension, order=order, diff=diff)
+        return vals[:, 0]
+
+    spec = P(axis_name)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    return jax.jit(fn)(fi, xi, xq)[:Q]

@@ -14,12 +14,23 @@ and report average time per system over a size sweep.  Deterministic
 Run: python examples/drivers_benchmark.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
+# this benchmark compares HOST driver paths (like the reference's CPU
+# LAPACK figure); pin it to CPU so remote-accelerator dispatch latency and
+# emulated f64 don't drown the comparison
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
 
 from wlsqm_tpu.utils import lapackdrivers as drv
 from wlsqm_tpu.ops import solve as solve_ops
@@ -33,6 +44,8 @@ def bench_numpy_loop(A, b):
 
 
 def bench_mgeneral(A, b):
+    # warm-up: the first call at a new shape compiles the batched program
+    drv.mgeneral(np.asfortranarray(A.copy()), np.asfortranarray(b.copy()))
     A2 = np.asfortranarray(A.copy())
     b2 = np.asfortranarray(b.copy())
     t0 = time.perf_counter()
@@ -71,6 +84,11 @@ def main():
         t_uc = bench_unrolled_chol(A, b) / nbatch
         print(f"{n:>4} | {t_np*1e6:>9.1f} us | {t_mg*1e6:>9.1f} us | "
               f"{t_uc*1e6:>11.2f} us")
+
+    print("\n(mgeneral = one fused XLA batched solve, the reference figure's"
+          "\n red/green curves; the unrolled Cholesky is designed for the TPU"
+          "\n vector unit — XLA CPU handles its fully unrolled graph poorly,"
+          "\n shown for completeness.)")
 
     # residual sanity, mirroring the reference's < 1e-8 bound
     n = 15

@@ -8,6 +8,11 @@ via nearest-model and continuous blending.
 Run: python examples/expertsolver_example.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import wlsqm_tpu as wt

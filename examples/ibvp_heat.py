@@ -15,6 +15,11 @@ once (:func:`wlsqm_tpu.prepare`) and every time step is a single batched
 Run: python examples/ibvp_heat.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

@@ -9,6 +9,11 @@ both the compatibility API and the JAX-native API.
 Run: python examples/wlsqm_tour.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import wlsqm_tpu as wt

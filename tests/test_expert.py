@@ -210,3 +210,30 @@ def test_conds_estimate_matches_debug(rng):
     # power iteration gives a lower bound converging from below
     assert np.all(est <= exact * 1.01)
     assert np.all(est >= exact * 0.5), (est / exact).min()
+
+
+def test_interpolate_continuous_device_mode(rng):
+    """device=True blending == host-tree blending, no prep_interpolate."""
+    B, K = 48, 14
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    f, _ = quadratic_2d()
+    fk = f(xk.reshape(-1, 2)).reshape(B, K)
+
+    kw = dict(dimension=2, nk=np.full(B, K, np.int32),
+              order=np.full(B, 2, np.int32), knowns=np.zeros(B, np.int64),
+              weighting_method=np.full(B, wt.WEIGHT_UNIFORM, np.int32))
+    s = wt.ExpertSolver(**kw)
+    s.prepare(xi=xi, xk=xk)
+    fi = np.zeros((B, 6))
+    s.solve(fk=fk, fi=fi)
+
+    q = rng.uniform(-0.9, 0.9, (31, 2))
+    got, idx = s.interpolate(q, mode="continuous", r=0.5, device=True)
+    assert idx is None
+
+    s.prep_interpolate()
+    ref, _ = s.interpolate(q, mode="continuous", r=0.5)
+    mask = np.isfinite(ref)
+    np.testing.assert_allclose(got[mask], ref[mask], rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(np.isfinite(got), mask)

@@ -328,7 +328,8 @@ class ExpertSolver:
                         else np.atleast_2d(self.xi).T)
             self.tree = host_tree(xi_rank2)
 
-    def interpolate(self, x, mode="nearest", r=None, diff=0, I=None):
+    def interpolate(self, x, mode="nearest", r=None, diff=0, I=None,
+                    device=False):
         """Interpolate the patched global model (or a derivative) at ``x``.
 
         (reference: wlsqm/fitter/expert.pyx:687-781)
@@ -339,6 +340,10 @@ class ExpertSolver:
                           within radius ``r``; weight (1 - sqrt(d²/r²))²
                           falls to zero at r, giving a continuous patching.
         I: optional per-query model indices to skip the nearest-model search.
+        device=True (extension, mode='continuous', homogeneous order): run
+        the blending fully on device — no host k-d tree, no
+        prep_interpolate needed
+        (:func:`wlsqm_tpu.fitter.interp.interpolate_continuous`).
 
         Returns (out, I_out); I_out is None in 'continuous' mode.
         """
@@ -349,6 +354,27 @@ class ExpertSolver:
             raise ValueError("r must be specified in mode='continuous'")
         if diff is None:
             raise ValueError("diff cannot be None")
+        if device and mode == "continuous":
+            if self._fi_internal is None:
+                raise RuntimeError(
+                    "solve() must be called before interpolate()")
+            order = np.asarray(self.order)
+            if order.min() != order.max():
+                raise ValueError(
+                    "device=True requires a homogeneous per-case order")
+            from wlsqm_tpu.fitter.interp import interpolate_continuous
+
+            x = np.asarray(x, dtype=np.float64)
+            xq = x.reshape(-1, 1) if self.dimension == 1 else x
+            xi_b = (self.xi.reshape(-1, 1) if self.dimension == 1
+                    else np.asarray(self.xi))
+            num, den = interpolate_continuous(
+                self._fi_internal, jnp.asarray(xi_b), jnp.asarray(xq), r,
+                dimension=self.dimension, order=int(order[0]),
+                diff=int(diff))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out = np.asarray(num) / np.asarray(den)
+            return (out, None)
         if self.tree is None:
             raise RuntimeError(
                 "Points xi have not been indexed; prep_interpolate() must be "

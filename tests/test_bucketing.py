@@ -97,3 +97,27 @@ def test_margin_guard_keeps_near_determined_on_xla(fake_tpu):
     got = api.fit_many(xk, fk, xi, order=4, backend="auto")
     assert fake_tpu == []
     assert bool(got.ok.all())
+
+
+def test_knowns_split_routes_free_cases_to_kernel(fake_tpu):
+    """knowns!=0 cases (e.g. Neumann boundary points) go through the masked
+    XLA pass; the interior knowns==0 majority still hits the kernel."""
+    T = pallas_fit.TILE
+    B, K = T + 40, 24
+    xk, fk, xi = _cloud(B, K, 11)
+    knowns = np.zeros(B, np.int64)
+    knowns[-40:] = defs.b2_F  # "boundary" cases with F known
+    fi_init = np.zeros((B, defs.number_of_dofs(2, 4)))
+    fi_init[-40:, 0] = 0.25   # the known F values
+
+    ref = api.fit_many(xk, fk, xi, order=4, knowns=knowns, fi_init=fi_init,
+                       backend="xla")
+    got = api.fit_many(xk, fk, xi, order=4, knowns=knowns, fi_init=fi_init,
+                       backend="auto")
+
+    assert [c[1] for c in fake_tpu] == [4]   # only the free group
+    assert fake_tpu[0][0] % pallas_fit.TILE == 0
+    np.testing.assert_allclose(np.asarray(got.fi), np.asarray(ref.fi),
+                               rtol=0, atol=1e-10)
+    # known F stayed at its prescribed value on the boundary cases
+    np.testing.assert_array_equal(np.asarray(got.fi)[-40:, 0], 0.25)

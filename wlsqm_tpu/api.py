@@ -156,7 +156,8 @@ def fit_many(
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
                                  np.asarray(weighting), K=K)
             and not do_sens and not iterative and not debug
-            and fi_init is None
+            # fi_init only carries KNOWN DOF values and supported() requires
+            # knowns == 0 everywhere, so it is ignorable here
             # on CPU the kernel only runs interpreted (slow); auto avoids it
             and (backend == "pallas" or (not on_cpu and margin_ok))
         )
@@ -175,24 +176,31 @@ def fit_many(
             nanv = jnp.full((B,), jnp.nan, fi.dtype)
             return FitResult(fi=fi, sens=None, iterations=zeros,
                              cond_scaled=nanv)
-        # mixed orders: group-by-order bucketing (SURVEY §7 — masking is the
-        # semantics, bucketing is the optimization).  Each homogeneous group
-        # big enough to fill a TILE goes through the kernel; the remainder
-        # falls through to the masked XLA path below and results merge.
-        order_np = np.asarray(order)
+        # heterogeneous batches: group-by-(order, knowns==0) bucketing
+        # (SURVEY §7 — masking is the semantics, bucketing is the
+        # optimization).  Every kernel-eligible homogeneous group big enough
+        # to fill a TILE goes through the fused kernel; everything else
+        # (mixed-in knowns cases — e.g. Neumann boundary points in an IBVP
+        # cloud — plus small groups) falls through to the masked XLA path
+        # and results merge in the caller's case order.
+        order_np = np.broadcast_to(np.asarray(order), (B,))
+        knowns_np = np.broadcast_to(np.asarray(knowns), (B,))
+        free = knowns_np == 0
+        # fi_init is allowed here: it only carries values for KNOWN DOFs, and
+        # the kernel groups are exactly the knowns==0 cases (engine ignores
+        # fi_init for them); the leftover pass receives its slice.
+        fi_init_np = None if fi_init is None else np.asarray(fi_init)
         if (backend == "auto" and not on_cpu
                 and not do_sens and not iterative and not debug
-                and fi_init is None
-                and (np.asarray(knowns) == 0).all()
                 and np.asarray(weighting).min() == np.asarray(weighting).max()
-                and order_np.ndim == 1
-                and len(np.unique(order_np)) > 1
+                and free.any()
+                and not (free.all() and len(np.unique(order_np)) == 1)
                 and K >= (3 * NO) // 2
                 and pallas_fit.vmem_ok(dim, int(order_np.max()), K)):
             fi_out = jnp.zeros((B, NO), xk.dtype)
             leftover = np.ones(B, bool)
-            for o in np.unique(order_np):
-                sel = np.nonzero(order_np == o)[0]
+            for o in np.unique(order_np[free]):
+                sel = np.nonzero(free & (order_np == o))[0]
                 if len(sel) < pallas_fit.TILE:
                     continue  # too small to amortize; leave for the XLA pass
                 pad = (-len(sel)) % pallas_fit.TILE
@@ -213,8 +221,10 @@ def fit_many(
                 rest = np.nonzero(leftover)[0]
                 rest_res = fit_many(
                     xk[rest], fk[rest], xi[rest], nk=nk[rest],
-                    order=order_np[rest], knowns=0,
+                    order=order_np[rest], knowns=knowns_np[rest],
                     weighting=np.asarray(weighting).max(),
+                    fi_init=(None if fi_init_np is None
+                             else fi_init_np[rest]),
                     max_order=max_order, backend="xla",
                     precision=precision, ruiz_max_iter=ruiz_max_iter,
                     scaling=scaling, solver=solver)

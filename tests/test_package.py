@@ -99,3 +99,29 @@ def test_fit_stream_matches_fit_many(rng):
     res = wt.fit_stream(xk, fk, xi, order=2, chunk=128, out=out)
     assert res.fi is out
     np.testing.assert_allclose(out, want, rtol=0, atol=1e-12)
+
+
+def test_solve_multifield(rng):
+    """fk (F, B, K): one call solves all fields on shared geometry."""
+    import numpy as np
+    import wlsqm_tpu as wt
+
+    B, K, F = 40, 14, 3
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    prep = wt.prepare(xk - xi[:, None, :], np.zeros((B, 2)), order=2)
+
+    fks = np.stack([np.sin(xk[..., 0]) * (f + 1) + xk[..., 1] ** 2
+                    for f in range(F)])
+    fi_all, _ = wt.solve(prep, fks)
+    assert fi_all.shape == (F, B, 6)
+    for f in range(F):
+        fi_f, _ = wt.solve(prep, fks[f])
+        # vmap batches the einsums, which may reassociate contractions;
+        # agreement is to f64 roundoff, not bitwise
+        np.testing.assert_allclose(np.asarray(fi_all[f]), np.asarray(fi_f),
+                                   rtol=1e-11, atol=1e-13)
+
+    # iterative variant keeps the same stacking
+    fi_it, _, iters = wt.solve(prep, fks, iterative=True, max_iter=3)
+    assert fi_it.shape == (F, B, 6) and iters.shape[0] == F

@@ -423,10 +423,31 @@ def solve(
 ):
     """Solve prepared systems against data ``fk``.
 
-    Returns (fi, sens) for the basic algorithm, or (fi, sens, iterations)
-    with ``iterative=True``.
+    fk (B, K) solves one field; fk (F, B, K) solves F fields against the
+    same prepared geometry in one call (factorizations reused, neighbor
+    gathers amortized — the batched form of the reference's guest-solver
+    pattern).  Returns (fi, sens) for the basic algorithm, or
+    (fi, sens, iterations) with ``iterative=True``; outputs carry the
+    leading field axis when fk does.
     """
     fk = jnp.asarray(fk)
+    if fk.ndim == 3:
+        # multi-field: fk (F, B, K) — one call solves every field against
+        # the same prepared geometry (the reference handles this with guest
+        # solvers sharing factored matrices, reference:
+        # wlsqm/fitter/expert.pyx:110-124; here it is a vmap over fields,
+        # amortizing the neighbor gather and reusing one factorization)
+        fi0 = (jnp.zeros((fk.shape[0], prep.ncases, prep.no_max), fk.dtype)
+               if fi_init is None else jnp.asarray(fi_init, fk.dtype))
+        if iterative:
+            fn = jax.vmap(
+                lambda fk_f, fi_f: engine.solve_iterative_prepared(
+                    prep, fk_f, fi_f, max_iter=max_iter, do_sens=do_sens))
+        else:
+            fn = jax.vmap(
+                lambda fk_f, fi_f: engine.solve_prepared(
+                    prep, fk_f, fi_f, do_sens=do_sens))
+        return jax.jit(fn)(fk, fi0)
     fi0 = (jnp.zeros((prep.ncases, prep.no_max), fk.dtype)
            if fi_init is None else jnp.asarray(fi_init, fk.dtype))
 

@@ -110,6 +110,7 @@ def fit_many(
     scaling: str = "ruiz",
     solver: str = solve_ops.SOLVER_CHOLESKY,
     backend: str = "xla",
+    refine_steps: int | None = None,
 ) -> FitResult:
     """Fit a batch of local surrogate models (JAX-native).
 
@@ -127,6 +128,10 @@ def fit_many(
     backend: "xla" (default), "pallas" (the fused VMEM-resident kernel —
         fastest on TPU; homogeneous order, no knowns, single weighting, no
         sens/iterative), or "auto" (pallas when eligible on TPU).
+    refine_steps: kernel-backend speed/accuracy dial — number of ds
+        residual sweeps after the direct solve (default
+        pallas_fit.DS_REFINE_STEPS = 4; 2 is ~20% faster and fine for
+        well-conditioned clouds).  Ignored by the XLA backend.
 
     Returns a :class:`FitResult`.  This function is jit-compiled; wrap it in
     ``shard_map`` over the case axis for multi-chip execution (see
@@ -167,11 +172,13 @@ def fit_many(
             fk_p = jnp.concatenate([fk, fk[:1].repeat(pad, 0)]) if pad else fk
             nk_p = jnp.concatenate([nk, nk[:1].repeat(pad, 0)]) if pad else nk
             xi_p = jnp.concatenate([xi, xi[:1].repeat(pad, 0)]) if pad else xi
+            rs = (dict(refine_steps=refine_steps)
+                  if refine_steps is not None else {})
             fi = pallas_fit.fit_pallas(
                 xk_p, fk_p, nk_p, xi_p, dimension=dim,
                 order=int(np.max(np.asarray(order))),
                 weighting=int(np.max(np.asarray(weighting))),
-                interpret=on_cpu)[:B]
+                interpret=on_cpu, **rs)[:B]
             zeros = jnp.zeros((B,), jnp.int32)
             nanv = jnp.full((B,), jnp.nan, fi.dtype)
             return FitResult(fi=fi, sens=None, iterations=zeros,
@@ -205,10 +212,13 @@ def fit_many(
                     continue  # too small to amortize; leave for the XLA pass
                 pad = (-len(sel)) % pallas_fit.TILE
                 idx = np.concatenate([sel, sel[:1].repeat(pad)])
+                rs = (dict(refine_steps=refine_steps)
+                      if refine_steps is not None else {})
                 fi_g = pallas_fit.fit_pallas(
                     xk[idx], fk[idx], nk[idx], xi[idx], dimension=dim,
                     order=int(o),
-                    weighting=int(np.asarray(weighting).max()))[:len(sel)]
+                    weighting=int(np.asarray(weighting).max()),
+                    **rs)[:len(sel)]
                 no_g = defs.number_of_dofs(dim, int(o))
                 fi_out = fi_out.at[jnp.asarray(sel), :no_g].set(fi_g)
                 leftover[sel] = False

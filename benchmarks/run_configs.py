@@ -15,8 +15,12 @@ Each config checks DOFs against an independent NumPy/LAPACK float64 pipeline
 
 from __future__ import annotations
 
-import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 import time
 from math import factorial
 

@@ -143,14 +143,39 @@ def _fit_many_impl(
     fi_np = np.asarray(fi, dtype=np.float64)
     fi_in = np.ascontiguousarray(fi_np[:, :NO])
 
-    # route eligible homogeneous batches through the fused Pallas kernel on
-    # accelerator backends (order-of-magnitude faster; see ops/pallas_fit)
-    if not (do_sens or iterative or debug):
+    # route eligible batches through the fused Pallas kernel on accelerator
+    # backends (order-of-magnitude faster; see ops/pallas_fit).  The kernel
+    # returns ds-grade DOFs (~1e-12 on benchmark clouds, up to ~1e-9 on
+    # order-4 mixtures); set WLSQM_TPU_NO_KERNEL_COMPAT=1 to keep the compat
+    # layer on the emulated-f64 engine for strict reference parity.
+    import os
+
+    strict = bool(os.environ.get("WLSQM_TPU_NO_KERNEL_COMPAT"))
+    if not (do_sens or iterative or debug or strict):
         import jax
 
         from wlsqm_tpu.ops import pallas_fit
 
         NOmax = defs.number_of_dofs(dimension, int(order.max()))
+        # heterogeneous batches (mixed orders and/or a minority of knowns
+        # cases) delegate to the api layer's group bucketing: TILE-sized
+        # kernel-eligible groups run fused, the rest merges via masked XLA
+        if (jax.default_backend() != "cpu"
+                and K >= (3 * NOmax) // 2
+                and not pallas_fit.supported(dimension, order, knowns,
+                                             weighting_method)
+                and weighting_method.min() == weighting_method.max()
+                and int((knowns == 0).sum()) >= pallas_fit.TILE
+                and pallas_fit.vmem_ok(dimension, int(order.max()), K)):
+            from wlsqm_tpu import api
+
+            res = api.fit_many(
+                jnp.asarray(xk_b), jnp.asarray(fk), jnp.asarray(xi_b),
+                nk=jnp.asarray(nk), order=order, knowns=knowns,
+                weighting=weighting_method, fi_init=jnp.asarray(fi_in),
+                max_order=int(order.max()), backend="auto")
+            fi[:, :NO] = np.asarray(res.fi)[:B]
+            return 0
         if (jax.default_backend() != "cpu"
                 and B >= pallas_fit.TILE
                 and K >= (3 * NOmax) // 2   # conditioning margin, see api

@@ -33,6 +33,19 @@ if _MM_PREC != "default":
     jax.config.update("jax_default_matmul_precision", _MM_PREC)
 
 
+# the fused kernels take 40s-8min of Mosaic/XLA compilation per shape; a
+# persistent on-disk cache makes them one-time per machine.  Opt in with
+# WLSQM_TPU_COMPILE_CACHE=<dir> (or "1" for the default location) — opt-in
+# because writing to disk on import should be the user's call.
+_CACHE = os.environ.get("WLSQM_TPU_COMPILE_CACHE")
+if _CACHE:
+    if _CACHE == "1":
+        _CACHE = os.path.expanduser("~/.cache/wlsqm_tpu/xla")
+    os.makedirs(_CACHE, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def default_dtype():
     """The default floating dtype for fitting (float64 unless x64 disabled)."""
     import jax.numpy as jnp

@@ -108,3 +108,26 @@ def test_recompute_basis_variant(rng, monkeypatch):
         dimension=2, NO=NO)
     rel = np.abs(got - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
     assert rel < 5e-6
+
+
+def test_sensitivities(rng):
+    """In-kernel sens == engine sens (refined solves per neighbor RHS)."""
+    xk, fk, nk, xi = _problem(rng, TILE, K=12)
+    # ragged but with overdetermination margin (NO=6; nk >= 10)
+    nk = jnp.asarray(np.where(np.arange(TILE) % 4 == 0, 10, 12)
+                     .astype(np.int32))
+    fi_p, sens_p = fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
+                              weighting=defs.WEIGHT_UNIFORM,
+                              interpret=True, do_sens=True)
+    NO = 6
+    f64, s64, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
+        jnp.full((TILE,), 2, jnp.int32), jnp.zeros((TILE,), jnp.int64),
+        jnp.full((TILE,), defs.WEIGHT_UNIFORM, jnp.int32),
+        dimension=2, NO=NO, do_sens=True)
+    s64 = np.asarray(s64)
+    rel = np.abs(np.asarray(sens_p) - s64).max() / np.abs(s64).max()
+    assert rel < 1e-6  # CPU-interpret ds bound; TPU lands ~1e-11
+    # padded-neighbor sens must be exactly zero (matches the engine)
+    mask = np.arange(12)[None, :] >= np.asarray(nk)[:, None]
+    assert np.abs(np.asarray(sens_p)[mask]).max() == 0.0

@@ -159,8 +159,8 @@ def fit_many(
         margin_ok = K >= (3 * NO) // 2
         eligible = (
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
-                                 np.asarray(weighting), K=K)
-            and not do_sens and not iterative and not debug
+                                 np.asarray(weighting), K=K, do_sens=do_sens)
+            and not iterative and not debug
             # fi_init only carries KNOWN DOF values and supported() requires
             # knowns == 0 everywhere, so it is ignorable here
             # on CPU the kernel only runs interpreted (slow); auto avoids it
@@ -174,14 +174,15 @@ def fit_many(
             xi_p = jnp.concatenate([xi, xi[:1].repeat(pad, 0)]) if pad else xi
             rs = (dict(refine_steps=refine_steps)
                   if refine_steps is not None else {})
-            fi = pallas_fit.fit_pallas(
+            out = pallas_fit.fit_pallas(
                 xk_p, fk_p, nk_p, xi_p, dimension=dim,
                 order=int(np.max(np.asarray(order))),
                 weighting=int(np.max(np.asarray(weighting))),
-                interpret=on_cpu, **rs)[:B]
+                interpret=on_cpu, do_sens=do_sens, **rs)
+            fi, sens = (out[0][:B], out[1][:B]) if do_sens else (out[:B], None)
             zeros = jnp.zeros((B,), jnp.int32)
             nanv = jnp.full((B,), jnp.nan, fi.dtype)
-            return FitResult(fi=fi, sens=None, iterations=zeros,
+            return FitResult(fi=fi, sens=sens, iterations=zeros,
                              cond_scaled=nanv)
         # heterogeneous batches: group-by-(order, knowns==0) bucketing
         # (SURVEY §7 — masking is the semantics, bucketing is the

@@ -51,7 +51,8 @@ DS_REFINE_STEPS = 4
 __all__ = ["fit_pallas", "supported"]
 
 
-def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool) -> int:
+def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool,
+                do_sens: bool = False) -> int:
     NO = defs.number_of_dofs(dimension, order)
     tile_bytes = TILE_S * TILE_L * 4
     # scratch: A (NO,NO) + b pair + w pair (+ stored ds basis when it fits);
@@ -61,15 +62,19 @@ def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool) -> int:
         scratch += 2 * K * NO * tile_bytes
     inputs = (2 * K * dimension + 2 * K + K + 1) * tile_bytes
     outputs = 2 * NO * tile_bytes
+    if do_sens:
+        outputs += 2 * K * NO * tile_bytes
     return scratch + inputs + outputs
 
 
-def _store_basis(dimension: int, order: int, K: int) -> bool:
+def _store_basis(dimension: int, order: int, K: int,
+                 do_sens: bool = False) -> bool:
     """Store the ds basis rows in VMEM (fast matvecs) when they fit."""
-    return _vmem_bytes(dimension, order, K, True) < 12 * 1024 * 1024
+    return _vmem_bytes(dimension, order, K, True, do_sens) < 12 * 1024 * 1024
 
 
-def vmem_ok(dimension: int, order: int, K: int) -> bool:
+def vmem_ok(dimension: int, order: int, K: int,
+            do_sens: bool = False) -> bool:
     """Whether the kernel's per-block state fits in VMEM (~16 MB/core).
 
     Two variants: basis rows stored in VMEM scratch (fastest), or
@@ -77,11 +82,11 @@ def vmem_ok(dimension: int, order: int, K: int) -> bool:
     big 3D order-4 NO=35 systems).  Budgeted against ~12 MB to leave room
     for Mosaic's own buffers.
     """
-    return _vmem_bytes(dimension, order, K, False) < 12 * 1024 * 1024
+    return _vmem_bytes(dimension, order, K, False, do_sens) < 12 * 1024 * 1024
 
 
-def supported(dimension: int, order, knowns, weighting, K: int | None = None
-              ) -> bool:
+def supported(dimension: int, order, knowns, weighting, K: int | None = None,
+              do_sens: bool = False) -> bool:
     """Whether the fused kernel covers this configuration."""
     order = np.asarray(order)
     knowns = np.asarray(knowns)
@@ -93,7 +98,7 @@ def supported(dimension: int, order, knowns, weighting, K: int | None = None
         and weighting.min() == weighting.max()
     )
     if ok and K is not None:
-        ok = vmem_ok(dimension, int(order.max()), K)
+        ok = vmem_ok(dimension, int(order.max()), K, do_sens)
     return bool(ok)
 
 
@@ -138,8 +143,13 @@ def _basis_cols_ds(delta_cols, exp, invfact_pairs):
     return out
 
 
+# ds refinement sweeps applied to each sensitivity right-hand side (after
+# its direct f32 solve); one sweep reaches ~cond x 1e-13 like the main DOFs
+SENS_SWEEPS = 1
+
+
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
-                 refine_steps: int, store_basis: bool):
+                 refine_steps: int, store_basis: bool, do_sens: bool):
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
     deg = tables.DEGREE[dimension][:NO]
@@ -151,8 +161,10 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         invfact_pairs.append((float(hi), float(lo)))
 
     def kernel(dhi_ref, dlo_ref, fkhi_ref, fklo_ref, kmask_ref, invs_ref,
-               xhi_ref, xlo_ref,
-               A_ref, bhi_ref, blo_ref, whi_ref, wlo_ref, *c_refs):
+               xhi_ref, xlo_ref, *rest):
+        if do_sens:
+            shi_ref, slo_ref, *rest = rest
+        A_ref, bhi_ref, blo_ref, whi_ref, wlo_ref, *c_refs = rest
         chi_ref, clo_ref = c_refs if store_basis else (None, None)
         zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
         inv_s = invs_ref[...]   # exact power of two, computed host-side so
@@ -327,26 +339,77 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             xhi_ref[j] = sol[0]
             xlo_ref[j] = sol[1]
 
+        if not do_sens:
+            return
+
+        # ---- sensitivities: one column of A^-1 C^T W per neighbor ----
+        # (reference computes these by nk extra back-substitutions on the
+        # factored matrix, wlsqm/fitter/impl.pyx:768-846; here each RHS gets
+        # the same solve + ds-residual refinement as the DOFs)
+        def crow(k):
+            if store_basis:
+                return [(chi_ref[k, j], clo_ref[k, j]) for j in range(NO)]
+            return basis_at(k)[1]
+
+        def sens_body(k, _):
+            ck = crow(k)
+            wk = (whi_ref[k], wlo_ref[k])
+            bk = [tf.mul_f32(tf.mul(wk, ck[j]), s[j]) for j in range(NO)]
+
+            def srefine(_, ys):
+                ys_p = [(ys[0][j], ys[1][j]) for j in range(NO)]
+                sy = [tf.mul_f32(ys_p[j], s[j]) for j in range(NO)]
+
+                def mv(k2, acc):
+                    c2 = crow(k2)
+                    t = (zero, zero)
+                    for j in range(NO):
+                        t = tf.add(t, tf.mul(c2[j], sy[j]))
+                    t = tf.mul(t, (whi_ref[k2], wlo_ref[k2]))
+                    new = [tf.add((acc[0][j], acc[1][j]), tf.mul(c2[j], t))
+                           for j in range(NO)]
+                    return ([a[0] for a in new], [a[1] for a in new])
+
+                ax = lax.fori_loop(jnp.int32(0), jnp.int32(K), mv,
+                                   ([zero] * NO, [zero] * NO))
+                r = []
+                for j in range(NO):
+                    axj = tf.mul_f32((ax[0][j], ax[1][j]), s[j])
+                    r.append(tf.sub(bk[j], axj))
+                dy = chol_solve([rj[0] for rj in r])
+                out = [tf.add(ys_p[j], (dy[j], zero)) for j in range(NO)]
+                return ([o[0] for o in out], [o[1] for o in out])
+
+            ys = lax.fori_loop(jnp.int32(0), jnp.int32(SENS_SWEEPS + 1),
+                               srefine, ([zero] * NO, [zero] * NO))
+            for j in range(NO):
+                v = tf.mul_f32((ys[0][j], ys[1][j]), s[j])
+                shi_ref[k, j] = v[0]
+                slo_ref[k, j] = v[1]
+            return jnp.int32(0)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(K), sens_body, jnp.int32(0))
+
     return kernel, NO, deg
 
 
 @partial(jax.jit, static_argnames=("dimension", "order", "weighting",
-                                   "refine_steps", "interpret"))
+                                   "refine_steps", "interpret", "do_sens"))
 def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
                weighting: int, refine_steps: int = DS_REFINE_STEPS,
-               interpret: bool = False):
+               interpret: bool = False, do_sens: bool = False):
     """Fused-kernel fit of a homogeneous batch (see module docstring).
 
     xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
     B must be a multiple of TILE (pad with duplicate cases if needed).
-    Returns fi (B, NO) f64.
+    Returns fi (B, NO) f64, or (fi, sens (B, K, NO) f64) with do_sens.
     """
     B, K, _ = xk.shape
     assert B % TILE == 0, "pad the batch to a multiple of %d" % TILE
     nblk = B // TILE
-    store_basis = _store_basis(dimension, order, K)
+    store_basis = _store_basis(dimension, order, K, do_sens)
     kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
-                                   refine_steps, store_basis)
+                                   refine_steps, store_basis, do_sens)
 
     # host-side (XLA) preprocessing: ds split + tile layout
     delta = xk - xi[:, None, :]
@@ -391,14 +454,27 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
             in_specs.append(pl.BlockSpec(
                 (None, TILE_S, TILE_L), lambda i: (i, z, z)))
 
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
         jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
-    )
-    out_specs = (
+    ]
+    out_specs = [
         pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
         pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
-    )
+    ]
+    if do_sens:
+        out_shape += [
+            jax.ShapeDtypeStruct((nblk, K, NO, TILE_S, TILE_L), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, K, NO, TILE_S, TILE_L), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((None, K, NO, TILE_S, TILE_L),
+                         lambda i: (i, z, z, z, z)),
+            pl.BlockSpec((None, K, NO, TILE_S, TILE_L),
+                         lambda i: (i, z, z, z, z)),
+        ]
+    out_shape = tuple(out_shape)
+    out_specs = tuple(out_specs)
     scratch = [
         pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32),   # A
         pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32),       # b hi
@@ -412,7 +488,7 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
             pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),  # c lo
         ]
 
-    xhi_t, xlo_t = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -421,13 +497,21 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
+    xhi_t, xlo_t = outs[0], outs[1]
 
-    # back to (B, NO), f64, and undo the radius prescale exactly
-    def from_tiles(x):  # (nblk, NO, 8, 128) -> (B, NO)
-        return jnp.moveaxis(x, (-2, -1), (1, 2)).reshape(B, x.shape[1])
+    # back to (B, ...), f64, and undo the radius prescale exactly
+    def from_tiles(x):  # (nblk, ..., 8, 128) -> (B, ...)
+        mid = x.shape[1:-2]
+        return jnp.moveaxis(x, (-2, -1), (1, 2)).reshape((B,) + mid)
 
     fi_scaled = (from_tiles(xhi_t).astype(jnp.float64)
                  + from_tiles(xlo_t).astype(jnp.float64))
     dof_scale = jnp.exp2(-e_s.astype(jnp.float64)[:, None]
                          * jnp.asarray(deg, jnp.float64)[None, :])
-    return fi_scaled * dof_scale
+    fi = fi_scaled * dof_scale
+    if not do_sens:
+        return fi
+    sens = (from_tiles(outs[2]).astype(jnp.float64)
+            + from_tiles(outs[3]).astype(jnp.float64))    # (B, K, NO)
+    sens = sens * dof_scale[:, None, :]
+    return fi, sens

@@ -151,7 +151,7 @@ def _fit_many_impl(
     import os
 
     strict = bool(os.environ.get("WLSQM_TPU_NO_KERNEL_COMPAT"))
-    if not (do_sens or iterative or debug or strict):
+    if not (iterative or debug or strict):
         import jax
 
         from wlsqm_tpu.ops import pallas_fit
@@ -160,7 +160,8 @@ def _fit_many_impl(
         # heterogeneous batches (mixed orders and/or a minority of knowns
         # cases) delegate to the api layer's group bucketing: TILE-sized
         # kernel-eligible groups run fused, the rest merges via masked XLA
-        if (jax.default_backend() != "cpu"
+        if (not do_sens
+                and jax.default_backend() != "cpu"
                 and K >= (3 * NOmax) // 2
                 and not pallas_fit.supported(dimension, order, knowns,
                                              weighting_method)
@@ -179,18 +180,27 @@ def _fit_many_impl(
         if (jax.default_backend() != "cpu"
                 and B >= pallas_fit.TILE
                 and K >= (3 * NOmax) // 2   # conditioning margin, see api
+                and (not do_sens or sens is not None)
                 and pallas_fit.supported(dimension, order, knowns,
-                                         weighting_method, K=K)):
+                                         weighting_method, K=K,
+                                         do_sens=bool(do_sens))):
             pad = (-B) % pallas_fit.TILE
             xk_p = np.concatenate([xk_b, xk_b[:pad]]) if pad else xk_b
             fk_p = np.concatenate([fk, fk[:pad]]) if pad else fk
             nk_p = np.concatenate([nk, nk[:pad]]) if pad else nk
             xi_p = np.concatenate([xi_b, xi_b[:pad]]) if pad else xi_b
-            fi_dev = pallas_fit.fit_pallas(
+            out = pallas_fit.fit_pallas(
                 jnp.asarray(xk_p), jnp.asarray(fk_p), jnp.asarray(nk_p),
                 jnp.asarray(xi_p), dimension=dimension,
                 order=int(order.max()),
-                weighting=int(weighting_method.max()))
+                weighting=int(weighting_method.max()),
+                do_sens=bool(do_sens))
+            if do_sens:
+                fi_dev, sens_dev = out
+                sens[...] = 0.0
+                sens[:, :K, :NO] = np.asarray(sens_dev)[:B]
+            else:
+                fi_dev = out
             fi[:, :NO] = np.asarray(fi_dev)[:B]
             return 0
 

@@ -176,6 +176,7 @@ class ExpertSolver:
         self.tree = None
         self.prepared: engine.Prepared | None = None
         self._fi_internal = None  # last solved coefficients, (ncases, NO)
+        self._kernel_geo = None   # padded device geometry for kernel solves
 
     # -- prepare -----------------------------------------------------------
 
@@ -209,6 +210,7 @@ class ExpertSolver:
 
         self.xi = xi
         self.xk = xk
+        self._kernel_geo = None
         self.tree = None
 
         self.prepared = _prepare_jit(
@@ -289,6 +291,47 @@ class ExpertSolver:
         fi_in = jnp.asarray(np.ascontiguousarray(fi_np[:, :self.NO]))
         fk_j = jnp.asarray(fk)
 
+        if self.algorithm == defs.ALGO_BASIC and self._kernel_eligible(fk):
+            # On TPU, re-deriving the factorization inside the fused kernel
+            # is faster than back-substituting the prepared one through the
+            # memory-bound XLA path (the kernel keeps everything in VMEM) —
+            # recompute-beats-caching.  WLSQM_TPU_NO_KERNEL_COMPAT=1 opts
+            # out for strict f64 parity with the prepared path.
+            from wlsqm_tpu.ops import pallas_fit
+
+            B, K = fk.shape
+            pad = (-B) % pallas_fit.TILE
+            cat = (lambda a: np.concatenate([a, a[:pad]]) if pad else a)
+            if self._kernel_geo is None:
+                # geometry is static across solves: upload it once
+                xk_b = (np.asarray(self.xk)[..., None]
+                        if self.dimension == 1 else np.asarray(self.xk))
+                xi_b = (np.asarray(self.xi).reshape(B, 1)
+                        if self.dimension == 1 else np.asarray(self.xi))
+                self._kernel_geo = (
+                    jnp.asarray(cat(xk_b)),
+                    jnp.asarray(cat(np.asarray(self.nk))),
+                    jnp.asarray(cat(xi_b)))
+            xk_d, nk_d, xi_d = self._kernel_geo
+            out = pallas_fit.fit_pallas(
+                xk_d, jnp.asarray(cat(fk)), nk_d, xi_d,
+                dimension=self.dimension,
+                order=int(np.asarray(self.order).max()),
+                weighting=int(np.asarray(self.weighting_method).max()),
+                do_sens=bool(self.do_sens))
+            if self.do_sens:
+                fi_out, sens_out = out[0][:B], out[1][:B]
+                if sens is None:
+                    raise ValueError(
+                        "do_sens solver requires a sens output array")
+                sens[...] = 0.0
+                sens[:, :K, :self.NO] = np.asarray(sens_out)
+            else:
+                fi_out = out[:B]
+            self._fi_internal = fi_out
+            fi[:, :self.NO] = np.asarray(fi_out)
+            return 0
+
         if self.algorithm == defs.ALGO_ITERATIVE:
             fi_out, sens_out, iters = _solve_iter_jit(
                 self.prepared, fk_j, fi_in,
@@ -307,6 +350,26 @@ class ExpertSolver:
             K = fk.shape[1]
             sens[:, :K, :self.NO] = np.asarray(sens_out)
         return max_iters
+
+    def _kernel_eligible(self, fk) -> bool:
+        """Whether solve() may route through the fused Pallas kernel."""
+        import os
+
+        import jax
+
+        if os.environ.get("WLSQM_TPU_NO_KERNEL_COMPAT"):
+            return False
+        if jax.default_backend() == "cpu" or self.xk is None:
+            return False
+        from wlsqm_tpu.ops import pallas_fit
+
+        B, K = np.asarray(fk).shape
+        if B < pallas_fit.TILE or K < (3 * self.NO) // 2:
+            return False
+        return pallas_fit.supported(
+            self.dimension, np.asarray(self.order), np.asarray(self.knowns),
+            np.asarray(self.weighting_method), K=K,
+            do_sens=bool(self.do_sens))
 
     # -- global interpolation ---------------------------------------------
 

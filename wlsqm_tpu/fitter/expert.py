@@ -88,6 +88,13 @@ class ExpertSolver:
     Unlike the reference, the prepared state is an immutable pytree of JAX
     arrays (:attr:`prepared`), so solvers are cheap to snapshot/serialize and
     guest instances cannot dangle.
+
+    On TPU, ALGO_BASIC solves on kernel-eligible batches (homogeneous order,
+    no knowns, enough neighbors, >= 1024 cases) route through the fused
+    Pallas kernel — a VMEM-resident refit is faster there than
+    back-substituting the prepared factorization, at ds-grade accuracy
+    (~1e-12 typical).  Set ``WLSQM_TPU_NO_KERNEL_COMPAT=1`` to keep solves
+    on the prepared path at the selected ``precision``.
     """
 
     def __init__(self, dimension, nk, order, knowns, weighting_method,

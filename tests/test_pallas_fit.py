@@ -131,3 +131,24 @@ def test_sensitivities(rng):
     # padded-neighbor sens must be exactly zero (matches the engine)
     mask = np.arange(12)[None, :] >= np.asarray(nk)[:, None]
     assert np.abs(np.asarray(sens_p)[mask]).max() == 0.0
+
+
+def test_iterative(rng):
+    """ALGO_ITERATIVE in-kernel: DOFs match the engine's iterative path."""
+    xk, fk, nk, xi = _problem(rng, TILE, K=14)
+    fi_p, iters = fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
+                             weighting=defs.WEIGHT_UNIFORM,
+                             interpret=True, max_iter=4)
+    NO = 6
+    f64, _, it64, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
+        jnp.full((TILE,), 2, jnp.int32), jnp.zeros((TILE,), jnp.int64),
+        jnp.full((TILE,), defs.WEIGHT_UNIFORM, jnp.int32),
+        dimension=2, NO=NO, iterative=True, max_iter=4)
+    rel = np.abs(np.asarray(fi_p) - np.asarray(f64)).max() \
+        / np.abs(np.asarray(f64)).max()
+    assert rel < 5e-6
+    # iteration counts are bounded and positive; exact counts may differ
+    # (f32 norms stagnate sooner than f64 — documented in porting.md)
+    it = np.asarray(iters)
+    assert it.min() >= 1 and it.max() <= 4

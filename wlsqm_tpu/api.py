@@ -160,7 +160,7 @@ def fit_many(
         eligible = (
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
                                  np.asarray(weighting), K=K, do_sens=do_sens)
-            and not iterative and not debug
+            and not debug
             # fi_init only carries KNOWN DOF values and supported() requires
             # knowns == 0 everywhere, so it is ignorable here
             # on CPU the kernel only runs interpreted (slow); auto avoids it
@@ -178,11 +178,19 @@ def fit_many(
                 xk_p, fk_p, nk_p, xi_p, dimension=dim,
                 order=int(np.max(np.asarray(order))),
                 weighting=int(np.max(np.asarray(weighting))),
-                interpret=on_cpu, do_sens=do_sens, **rs)
-            fi, sens = (out[0][:B], out[1][:B]) if do_sens else (out[:B], None)
-            zeros = jnp.zeros((B,), jnp.int32)
+                interpret=on_cpu, do_sens=do_sens,
+                max_iter=(max_iter if iterative else 0), **rs)
+            if not (iterative or do_sens):
+                out = (out,)
+            fi = out[0][:B]
+            nxt = 1
+            iters = jnp.zeros((B,), jnp.int32)
+            if iterative:
+                iters = out[nxt][:B]
+                nxt += 1
+            sens = out[nxt][:B] if do_sens else None
             nanv = jnp.full((B,), jnp.nan, fi.dtype)
-            return FitResult(fi=fi, sens=sens, iterations=zeros,
+            return FitResult(fi=fi, sens=sens, iterations=iters,
                              cond_scaled=nanv)
         # heterogeneous batches: group-by-(order, knowns==0) bucketing
         # (SURVEY §7 — masking is the semantics, bucketing is the

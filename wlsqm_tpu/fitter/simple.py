@@ -151,7 +151,7 @@ def _fit_many_impl(
     import os
 
     strict = bool(os.environ.get("WLSQM_TPU_NO_KERNEL_COMPAT"))
-    if not (iterative or debug or strict):
+    if not (debug or strict):
         import jax
 
         from wlsqm_tpu.ops import pallas_fit
@@ -194,15 +194,21 @@ def _fit_many_impl(
                 jnp.asarray(xi_p), dimension=dimension,
                 order=int(order.max()),
                 weighting=int(weighting_method.max()),
-                do_sens=bool(do_sens))
+                do_sens=bool(do_sens),
+                max_iter=(int(max_iter) if iterative else 0))
+            if not (iterative or do_sens):
+                out = (out,)
+            fi_dev = out[0]
+            nxt = 1
+            max_it = 0
+            if iterative:
+                max_it = int(np.asarray(out[nxt])[:B].max(initial=0))
+                nxt += 1
             if do_sens:
-                fi_dev, sens_dev = out
                 sens[...] = 0.0
-                sens[:, :K, :NO] = np.asarray(sens_dev)[:B]
-            else:
-                fi_dev = out
+                sens[:, :K, :NO] = np.asarray(out[nxt])[:B]
             fi[:, :NO] = np.asarray(fi_dev)[:B]
-            return 0
+            return max_it
 
     # bucket the batch/neighbor axes so organically varying sizes reuse a
     # few compiled programs; padded cases are all-known order-0 no-ops and

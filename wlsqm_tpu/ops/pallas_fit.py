@@ -149,7 +149,8 @@ SENS_SWEEPS = 1
 
 
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
-                 refine_steps: int, store_basis: bool, do_sens: bool):
+                 refine_steps: int, store_basis: bool, do_sens: bool,
+                 max_iter: int):
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
     deg = tables.DEGREE[dimension][:NO]
@@ -162,6 +163,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
     def kernel(dhi_ref, dlo_ref, fkhi_ref, fklo_ref, kmask_ref, invs_ref,
                xhi_ref, xlo_ref, *rest):
+        itr_ref = None
+        if max_iter:
+            itr_ref, *rest = rest
         if do_sens:
             shi_ref, slo_ref, *rest = rest
         A_ref, bhi_ref, blo_ref, whi_ref, wlo_ref, *c_refs = rest
@@ -332,12 +336,83 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         xs = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps + 1),
                            refine, xs)
 
-        # ---- unscale: fi_scaled = s_j * x_j ; radius de-scale happens
-        #      outside (exact powers of two applied in f64) ----
+        # fi in the radius-scaled space: x_hat_j = s_j * y_j
+        xhat = [tf.mul_f32((xs[0][j], xs[1][j]), s[j]) for j in range(NO)]
+
+        if max_iter:
+            # ---- ALGO_ITERATIVE: corrective refits with the reference's
+            #      exact l-inf norm stagnation rule (reference:
+            #      wlsqm/fitter/impl.pyx:986-1083).  Fixed-trip masked loop;
+            #      stagnated cases keep their DOFs and stop counting.
+            def crow_it(k):
+                if store_basis:
+                    return [(chi_ref[k, j], clo_ref[k, j]) for j in range(NO)]
+                return basis_at(k)[1]
+
+            def iter_body(_, st):
+                xh_hi, xh_lo, done, prev, itn = st
+                xh = [(xh_hi[j], xh_lo[j]) for j in range(NO)]
+
+                # carry two uniform lists of f32 tiles (the same carry
+                # structure as the refinement matvec, which Mosaic's layout
+                # inference handles); slot NO of the hi list holds the
+                # running l-inf residual norm
+                def k_sweep(k, acc):
+                    bh, bl = acc
+                    ck = crow_it(k)
+                    m = (zero, zero)
+                    for j in range(NO):
+                        m = tf.add(m, tf.mul(ck[j], xh[j]))
+                    r = tf.sub((fkhi_ref[k], fklo_ref[k]), m)
+                    valid = kmask_ref[k] > 0
+                    r = (jnp.where(valid, r[0], 0.0),
+                         jnp.where(valid, r[1], 0.0))
+                    wr = tf.mul(r, (whi_ref[k], wlo_ref[k]))
+                    nh, nl = [], []
+                    for j in range(NO):
+                        bj = tf.add((bh[j], bl[j]), tf.mul(ck[j], wr))
+                        nh.append(bj[0])
+                        nl.append(bj[1])
+                    nh.append(jnp.maximum(bh[NO], jnp.abs(r[0])))
+                    nl.append(bl[NO])
+                    return (nh, nl)
+
+                bh, bl = lax.fori_loop(
+                    jnp.int32(0), jnp.int32(K), k_sweep,
+                    ([zero] * (NO + 1), [zero] * (NO + 1)))
+                nrm = bh[NO]
+                # done carried as a 0/1 f32 tile (Mosaic handles f32 loop
+                # carries; vector-of-i1 carries can abort the compiler)
+                # .astype keeps the select in f32 — a bare
+                # where(pred, 1.0, 0.0) under jax_enable_x64 materializes an
+                # f64 vector, which Mosaic's layout inference aborts on
+                done_now = jnp.maximum(done,
+                                       (nrm == prev).astype(jnp.float32))
+                dy = chol_solve([bh[j] * s[j] for j in range(NO)])
+                upd = done_now == 0.0
+                oh, ol = [], []
+                for j in range(NO):
+                    nx = tf.add(xh[j], (jnp.where(upd, dy[j] * s[j], 0.0),
+                                        zero))
+                    oh.append(jnp.where(upd, nx[0], xh[j][0]))
+                    ol.append(jnp.where(upd, nx[1], xh[j][1]))
+                itn = itn + upd.astype(jnp.float32)
+                return (oh, ol, done_now, nrm, itn)
+
+            st0 = ([p[0] for p in xhat], [p[1] for p in xhat],
+                   zero,
+                   jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zero)
+            oh, ol, _, _, itn = lax.fori_loop(jnp.int32(0),
+                                              jnp.int32(max_iter),
+                                              iter_body, st0)
+            xhat = [(oh[j], ol[j]) for j in range(NO)]
+            itr_ref[...] = itn
+
+        # ---- write out (radius de-scale happens outside, exact powers
+        #      of two applied in f64) ----
         for j in range(NO):
-            sol = tf.mul_f32((xs[0][j], xs[1][j]), s[j])
-            xhi_ref[j] = sol[0]
-            xlo_ref[j] = sol[1]
+            xhi_ref[j] = xhat[j][0]
+            xlo_ref[j] = xhat[j][1]
 
         if not do_sens:
             return
@@ -394,22 +469,28 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
 
 @partial(jax.jit, static_argnames=("dimension", "order", "weighting",
-                                   "refine_steps", "interpret", "do_sens"))
+                                   "refine_steps", "interpret", "do_sens",
+                                   "max_iter"))
 def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
                weighting: int, refine_steps: int = DS_REFINE_STEPS,
-               interpret: bool = False, do_sens: bool = False):
+               interpret: bool = False, do_sens: bool = False,
+               max_iter: int = 0):
     """Fused-kernel fit of a homogeneous batch (see module docstring).
 
     xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
     B must be a multiple of TILE (pad with duplicate cases if needed).
-    Returns fi (B, NO) f64, or (fi, sens (B, K, NO) f64) with do_sens.
+    max_iter > 0 runs ALGO_ITERATIVE corrective refits (the reference's
+    exact-stagnation rule) and appends per-case iteration counts.
+    Returns fi (B, NO) f64, with iters (B,) i32 appended when max_iter > 0
+    and sens (B, K, NO) f64 appended when do_sens — in that order.
     """
     B, K, _ = xk.shape
     assert B % TILE == 0, "pad the batch to a multiple of %d" % TILE
     nblk = B // TILE
     store_basis = _store_basis(dimension, order, K, do_sens)
     kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
-                                   refine_steps, store_basis, do_sens)
+                                   refine_steps, store_basis, do_sens,
+                                   max_iter)
 
     # host-side (XLA) preprocessing: ds split + tile layout
     delta = xk - xi[:, None, :]
@@ -462,6 +543,11 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
         pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
         pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
     ]
+    if max_iter:
+        out_shape += [
+            jax.ShapeDtypeStruct((nblk, TILE_S, TILE_L), jnp.float32)]
+        out_specs += [
+            pl.BlockSpec((None, TILE_S, TILE_L), lambda i: (i, z, z))]
     if do_sens:
         out_shape += [
             jax.ShapeDtypeStruct((nblk, K, NO, TILE_S, TILE_L), jnp.float32),
@@ -509,9 +595,13 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     dof_scale = jnp.exp2(-e_s.astype(jnp.float64)[:, None]
                          * jnp.asarray(deg, jnp.float64)[None, :])
     fi = fi_scaled * dof_scale
-    if not do_sens:
-        return fi
-    sens = (from_tiles(outs[2]).astype(jnp.float64)
-            + from_tiles(outs[3]).astype(jnp.float64))    # (B, K, NO)
-    sens = sens * dof_scale[:, None, :]
-    return fi, sens
+    res = [fi]
+    nxt = 2
+    if max_iter:
+        res.append(from_tiles(outs[nxt]).astype(jnp.int32))
+        nxt += 1
+    if do_sens:
+        sens = (from_tiles(outs[nxt]).astype(jnp.float64)
+                + from_tiles(outs[nxt + 1]).astype(jnp.float64))  # (B, K, NO)
+        res.append(sens * dof_scale[:, None, :])
+    return res[0] if len(res) == 1 else tuple(res)

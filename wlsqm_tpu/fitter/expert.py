@@ -298,7 +298,7 @@ class ExpertSolver:
         fi_in = jnp.asarray(np.ascontiguousarray(fi_np[:, :self.NO]))
         fk_j = jnp.asarray(fk)
 
-        if self.algorithm == defs.ALGO_BASIC and self._kernel_eligible(fk):
+        if self._kernel_eligible(fk):
             # On TPU, re-deriving the factorization inside the fused kernel
             # is faster than back-substituting the prepared one through the
             # memory-bound XLA path (the kernel keeps everything in VMEM) —
@@ -320,24 +320,31 @@ class ExpertSolver:
                     jnp.asarray(cat(np.asarray(self.nk))),
                     jnp.asarray(cat(xi_b)))
             xk_d, nk_d, xi_d = self._kernel_geo
+            iterative = self.algorithm == defs.ALGO_ITERATIVE
             out = pallas_fit.fit_pallas(
                 xk_d, jnp.asarray(cat(fk)), nk_d, xi_d,
                 dimension=self.dimension,
                 order=int(np.asarray(self.order).max()),
                 weighting=int(np.asarray(self.weighting_method).max()),
-                do_sens=bool(self.do_sens))
+                do_sens=bool(self.do_sens),
+                max_iter=(self.max_iter if iterative else 0))
+            if not (iterative or self.do_sens):
+                out = (out,)
+            fi_out = out[0][:B]
+            nxt = 1
+            max_iters = 0
+            if iterative:
+                max_iters = int(np.asarray(out[nxt])[:B].max(initial=0))
+                nxt += 1
             if self.do_sens:
-                fi_out, sens_out = out[0][:B], out[1][:B]
                 if sens is None:
                     raise ValueError(
                         "do_sens solver requires a sens output array")
                 sens[...] = 0.0
-                sens[:, :K, :self.NO] = np.asarray(sens_out)
-            else:
-                fi_out = out[:B]
+                sens[:, :K, :self.NO] = np.asarray(out[nxt])[:B]
             self._fi_internal = fi_out
             fi[:, :self.NO] = np.asarray(fi_out)
-            return 0
+            return max_iters
 
         if self.algorithm == defs.ALGO_ITERATIVE:
             fi_out, sens_out, iters = _solve_iter_jit(

@@ -34,10 +34,12 @@ def _cloud(B, K, seed):
 def _stub_fit_pallas(calls):
     """A fit_pallas lookalike backed by the f64 XLA engine."""
 
-    def stub(xk, fk, nk, xi, *, dimension, order, weighting, **kw):
+    def stub(xk, fk, nk, xi, fi_init=None, *, dimension, order, weighting,
+             knowns=0, **kw):
         calls.append((int(xk.shape[0]), int(order)))
-        res = api.fit_many(xk, fk, xi, nk=nk, order=order,
-                           weighting=weighting, backend="xla")
+        res = api.fit_many(xk, fk, xi, nk=nk, order=order, knowns=knowns,
+                           fi_init=fi_init, weighting=weighting,
+                           backend="xla")
         return res.fi
 
     return stub

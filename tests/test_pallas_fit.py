@@ -152,3 +152,32 @@ def test_iterative(rng):
     # (f32 norms stagnate sooner than f64 — documented in porting.md)
     it = np.asarray(iters)
     assert it.min() >= 1 and it.max() <= 4
+
+
+def test_knowns_elimination(rng):
+    """Static knowns bitmask in-kernel: prescribed DOFs pass through
+    bit-exactly, unknowns match the engine, sens NaN pattern matches."""
+    xk, fk, nk, xi = _problem(rng, TILE, K=14, clustered=True)
+    NO = 6
+    mask = int(defs.b2_F | defs.b2_X)
+    fi0 = np.zeros((TILE, NO))
+    fi0[:, 0] = np.sin(np.asarray(xi)[:, 0])
+    fi0[:, 1] = 0.25
+    fi_p, sens_p = fit_pallas(xk, fk, nk, xi, jnp.asarray(fi0),
+                              dimension=2, order=2,
+                              weighting=defs.WEIGHT_UNIFORM,
+                              interpret=True, knowns=mask, do_sens=True)
+    f64, s64, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.asarray(fi0),
+        jnp.full((TILE,), 2, jnp.int32), jnp.full((TILE,), mask, jnp.int64),
+        jnp.full((TILE,), defs.WEIGHT_UNIFORM, jnp.int32),
+        dimension=2, NO=NO, do_sens=True)
+    fi_p, f64 = np.asarray(fi_p), np.asarray(f64)
+    rel = np.abs(fi_p - f64).max() / np.abs(f64).max()
+    assert rel < 5e-6
+    np.testing.assert_array_equal(fi_p[:, 0], fi0[:, 0])  # bit-exact knowns
+    np.testing.assert_array_equal(fi_p[:, 1], fi0[:, 1])
+    sp, s64 = np.asarray(sens_p), np.asarray(s64)
+    fin = np.isfinite(s64)
+    assert (np.isfinite(sp) == fin).all()
+    assert np.abs(sp[fin] - s64[fin]).max() / np.abs(s64[fin]).max() < 1e-6

@@ -161,8 +161,6 @@ def fit_many(
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
                                  np.asarray(weighting), K=K, do_sens=do_sens)
             and not debug
-            # fi_init only carries KNOWN DOF values and supported() requires
-            # knowns == 0 everywhere, so it is ignorable here
             # on CPU the kernel only runs interpreted (slow); auto avoids it
             and (backend == "pallas" or (not on_cpu and margin_ok))
         )
@@ -174,11 +172,17 @@ def fit_many(
             xi_p = jnp.concatenate([xi, xi[:1].repeat(pad, 0)]) if pad else xi
             rs = (dict(refine_steps=refine_steps)
                   if refine_steps is not None else {})
+            fi0_p = None
+            if fi_init is not None:
+                fi0_p = jnp.asarray(fi_init)
+                if pad:
+                    fi0_p = jnp.concatenate([fi0_p, fi0_p[:1].repeat(pad, 0)])
             out = pallas_fit.fit_pallas(
-                xk_p, fk_p, nk_p, xi_p, dimension=dim,
+                xk_p, fk_p, nk_p, xi_p, fi0_p, dimension=dim,
                 order=int(np.max(np.asarray(order))),
                 weighting=int(np.max(np.asarray(weighting))),
                 interpret=on_cpu, do_sens=do_sens,
+                knowns=int(np.max(np.asarray(knowns))),
                 max_iter=(max_iter if iterative else 0), **rs)
             if not (iterative or do_sens):
                 out = (out,)
@@ -192,40 +196,38 @@ def fit_many(
             nanv = jnp.full((B,), jnp.nan, fi.dtype)
             return FitResult(fi=fi, sens=sens, iterations=iters,
                              cond_scaled=nanv)
-        # heterogeneous batches: group-by-(order, knowns==0) bucketing
+        # heterogeneous batches: group-by-(order, knowns) bucketing
         # (SURVEY §7 — masking is the semantics, bucketing is the
-        # optimization).  Every kernel-eligible homogeneous group big enough
-        # to fill a TILE goes through the fused kernel; everything else
-        # (mixed-in knowns cases — e.g. Neumann boundary points in an IBVP
-        # cloud — plus small groups) falls through to the masked XLA path
-        # and results merge in the caller's case order.
+        # optimization).  Every homogeneous group big enough to fill a TILE
+        # goes through the fused kernel (known DOFs are eliminated
+        # in-kernel); small groups fall through to the masked XLA path and
+        # results merge in the caller's case order.
         order_np = np.broadcast_to(np.asarray(order), (B,))
         knowns_np = np.broadcast_to(np.asarray(knowns), (B,))
-        free = knowns_np == 0
-        # fi_init is allowed here: it only carries values for KNOWN DOFs, and
-        # the kernel groups are exactly the knowns==0 cases (engine ignores
-        # fi_init for them); the leftover pass receives its slice.
         fi_init_np = None if fi_init is None else np.asarray(fi_init)
         if (backend == "auto" and not on_cpu
                 and not do_sens and not iterative and not debug
                 and np.asarray(weighting).min() == np.asarray(weighting).max()
-                and free.any()
-                and not (free.all() and len(np.unique(order_np)) == 1)
                 and K >= (3 * NO) // 2
                 and pallas_fit.vmem_ok(dim, int(order_np.max()), K)):
             fi_out = jnp.zeros((B, NO), xk.dtype)
             leftover = np.ones(B, bool)
-            for o in np.unique(order_np[free]):
-                sel = np.nonzero(free & (order_np == o))[0]
+            pairs = {(int(o), int(kn))
+                     for o, kn in zip(order_np.tolist(), knowns_np.tolist())}
+            for o, kn in sorted(pairs):
+                sel = np.nonzero((order_np == o) & (knowns_np == kn))[0]
                 if len(sel) < pallas_fit.TILE:
                     continue  # too small to amortize; leave for the XLA pass
                 pad = (-len(sel)) % pallas_fit.TILE
                 idx = np.concatenate([sel, sel[:1].repeat(pad)])
                 rs = (dict(refine_steps=refine_steps)
                       if refine_steps is not None else {})
+                fi0_g = None
+                if kn and fi_init_np is not None:
+                    fi0_g = jnp.asarray(fi_init_np[idx])
                 fi_g = pallas_fit.fit_pallas(
-                    xk[idx], fk[idx], nk[idx], xi[idx], dimension=dim,
-                    order=int(o),
+                    xk[idx], fk[idx], nk[idx], xi[idx], fi0_g, dimension=dim,
+                    order=int(o), knowns=kn,
                     weighting=int(np.asarray(weighting).max()),
                     **rs)[:len(sel)]
                 no_g = defs.number_of_dofs(dim, int(o))
@@ -256,7 +258,7 @@ def fit_many(
         if backend == "pallas":
             raise ValueError(
                 "backend='pallas' requires a homogeneous batch (single "
-                "order/weighting, no knowns) without sens/iterative/debug; "
+                "order/weighting/knowns-mask) without debug; "
                 "use backend='auto' or 'xla'")
 
     fi0 = (jnp.zeros((B, NO), xk.dtype) if fi_init is None

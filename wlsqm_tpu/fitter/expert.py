@@ -321,12 +321,17 @@ class ExpertSolver:
                     jnp.asarray(cat(xi_b)))
             xk_d, nk_d, xi_d = self._kernel_geo
             iterative = self.algorithm == defs.ALGO_ITERATIVE
+            kn = int(np.asarray(self.knowns).max())
+            fi_p = None
+            if kn:
+                fi_p = jnp.asarray(cat(np.ascontiguousarray(
+                    fi_np[:, :self.NO])))
             out = pallas_fit.fit_pallas(
-                xk_d, jnp.asarray(cat(fk)), nk_d, xi_d,
+                xk_d, jnp.asarray(cat(fk)), nk_d, xi_d, fi_p,
                 dimension=self.dimension,
                 order=int(np.asarray(self.order).max()),
                 weighting=int(np.asarray(self.weighting_method).max()),
-                do_sens=bool(self.do_sens),
+                do_sens=bool(self.do_sens), knowns=kn,
                 max_iter=(self.max_iter if iterative else 0))
             if not (iterative or self.do_sens):
                 out = (out,)

@@ -189,12 +189,14 @@ def _fit_many_impl(
             fk_p = np.concatenate([fk, fk[:pad]]) if pad else fk
             nk_p = np.concatenate([nk, nk[:pad]]) if pad else nk
             xi_p = np.concatenate([xi_b, xi_b[:pad]]) if pad else xi_b
+            fi_p = np.concatenate([fi_in, fi_in[:pad]]) if pad else fi_in
             out = pallas_fit.fit_pallas(
                 jnp.asarray(xk_p), jnp.asarray(fk_p), jnp.asarray(nk_p),
-                jnp.asarray(xi_p), dimension=dimension,
+                jnp.asarray(xi_p), jnp.asarray(fi_p), dimension=dimension,
                 order=int(order.max()),
                 weighting=int(weighting_method.max()),
                 do_sens=bool(do_sens),
+                knowns=int(knowns.max()),
                 max_iter=(int(max_iter) if iterative else 0))
             if not (iterative or do_sens):
                 out = (out,)

@@ -14,10 +14,13 @@ TILE = 1024 cases, and every per-case scalar is a full (8, 128) f32 tile, so
 each of the ~3k fused VPU ops works at 100% lane utilization.  Per-(k, j)
 quantities are (K, …, 8, 128) VMEM arrays indexed by `lax.fori_loop`.
 
-Scope (v1): homogeneous batches — one static polynomial order, no knowns
-bitmask, WEIGHT_UNIFORM or WEIGHT_CENTER, ragged nk via masking.  The
-engine falls back to the XLA path outside this envelope.  Accuracy matches
-the ds engine (~1e-12 vs f64); see tests/test_pallas_fit.py.
+Scope: homogeneous batches — one static polynomial order, one knowns
+bitmask (any value; known DOFs are eliminated in-kernel), WEIGHT_UNIFORM
+or WEIGHT_CENTER, ragged nk via masking, optional sensitivities and
+ALGO_ITERATIVE refinement.  Heterogeneous batches bucket by
+(order, knowns) in the api layer; the engine's masked XLA path covers
+everything else.  Accuracy matches the ds engine (~1e-12 vs f64 on
+typical clouds); see tests/test_pallas_fit.py.
 """
 
 from __future__ import annotations
@@ -60,7 +63,7 @@ def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool,
     scratch = (NO * NO + 2 * NO + 2 * K) * tile_bytes
     if store_basis:
         scratch += 2 * K * NO * tile_bytes
-    inputs = (2 * K * dimension + 2 * K + K + 1) * tile_bytes
+    inputs = (2 * K * dimension + 2 * K + K + 1 + 2 * NO) * tile_bytes
     outputs = 2 * NO * tile_bytes
     if do_sens:
         outputs += 2 * K * NO * tile_bytes
@@ -87,14 +90,19 @@ def vmem_ok(dimension: int, order: int, K: int,
 
 def supported(dimension: int, order, knowns, weighting, K: int | None = None,
               do_sens: bool = False) -> bool:
-    """Whether the fused kernel covers this configuration."""
+    """Whether the fused kernel covers this configuration.
+
+    Homogeneous batches only: one polynomial order, one weighting, and one
+    knowns bitmask (any value — known DOFs are eliminated in-kernel with
+    their prescribed values).
+    """
     order = np.asarray(order)
     knowns = np.asarray(knowns)
     weighting = np.asarray(weighting)
     ok = (
         dimension in (1, 2, 3)
         and order.min() == order.max()
-        and (knowns == 0).all()
+        and knowns.min() == knowns.max()
         and weighting.min() == weighting.max()
     )
     if ok and K is not None:
@@ -150,7 +158,7 @@ SENS_SWEEPS = 1
 
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                  refine_steps: int, store_basis: bool, do_sens: bool,
-                 max_iter: int):
+                 max_iter: int, knowns: int):
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
     deg = tables.DEGREE[dimension][:NO]
@@ -160,9 +168,19 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         hi = np.float32(v)
         lo = np.float32(v - np.float64(hi))
         invfact_pairs.append((float(hi), float(lo)))
+    # static knowns bitmask: the reduced system is just index bookkeeping
+    # at trace time (reference eliminates algebraically and remaps indices,
+    # wlsqm/fitter/impl.pyx:789-818; here known DOFs get identity rows and
+    # their prescribed values enter the RHS)
+    KN = [j for j in range(NO) if (knowns >> j) & 1]
+    kn_slot = {j: i for i, j in enumerate(KN)}
 
     def kernel(dhi_ref, dlo_ref, fkhi_ref, fklo_ref, kmask_ref, invs_ref,
-               xhi_ref, xlo_ref, *rest):
+               *rest):
+        gihi_ref = gilo_ref = None
+        if KN:
+            gihi_ref, gilo_ref, *rest = rest
+        xhi_ref, xlo_ref, *rest = rest
         itr_ref = None
         if max_iter:
             itr_ref, *rest = rest
@@ -231,7 +249,11 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 w = (jnp.ones_like(zero), zero)
             m = kmask_ref[k]
             w = (jnp.where(m > 0, w[0], 0.0), jnp.where(m > 0, w[1], 0.0))
-            wf = tf.mul(w, (fkhi_ref[k], fklo_ref[k]))
+            fkeff = (fkhi_ref[k], fklo_ref[k])
+            for j in KN:   # algebraic knowns elimination: move to the RHS
+                g = (gihi_ref[kn_slot[j]], gilo_ref[kn_slot[j]])
+                fkeff = tf.sub(fkeff, tf.mul(g, c[j]))
+            wf = tf.mul(w, fkeff)
             # store c (pair, when VMEM allows) and w for the refinement
             # matvecs; otherwise the matvec recomputes the basis row
             if store_basis:
@@ -251,6 +273,17 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             return jnp.int32(0)
 
         lax.fori_loop(jnp.int32(0), jnp.int32(K), asm_body, jnp.int32(0))
+
+        # known DOFs: identity rows/cols in A, zero RHS (their values are
+        # prescribed; the solve only determines the unknowns)
+        one = jnp.ones((TILE_S, TILE_L), jnp.float32)
+        for j in KN:
+            for mcol in range(j, NO):
+                A_ref[j, mcol] = one if mcol == j else zero
+            for i in range(j):
+                A_ref[i, j] = zero
+            bhi_ref[j] = zero
+            blo_ref[j] = zero
 
         # ---- Jacobi scale + Cholesky (f32, unrolled) ----
         s = [None] * NO
@@ -325,6 +358,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             ax = lax.fori_loop(jnp.int32(0), jnp.int32(K), matvec_body, init)
             r = []
             for j in range(NO):
+                if j in kn_slot:
+                    r.append((zero, zero))  # identity row: no correction
+                    continue
                 axj = tf.mul_f32((ax[0][j], ax[1][j]), s[j])
                 bj = tf.mul_f32(bs[j], s[j])
                 r.append(tf.sub(bj, axj))
@@ -336,8 +372,11 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         xs = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps + 1),
                            refine, xs)
 
-        # fi in the radius-scaled space: x_hat_j = s_j * y_j
-        xhat = [tf.mul_f32((xs[0][j], xs[1][j]), s[j]) for j in range(NO)]
+        # fi in the radius-scaled space: x_hat_j = s_j * y_j; known DOFs
+        # carry their prescribed (radius-scaled) values through
+        xhat = [(gihi_ref[kn_slot[j]], gilo_ref[kn_slot[j]]) if j in kn_slot
+                else tf.mul_f32((xs[0][j], xs[1][j]), s[j])
+                for j in range(NO)]
 
         if max_iter:
             # ---- ALGO_ITERATIVE: corrective refits with the reference's
@@ -429,7 +468,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         def sens_body(k, _):
             ck = crow(k)
             wk = (whi_ref[k], wlo_ref[k])
-            bk = [tf.mul_f32(tf.mul(wk, ck[j]), s[j]) for j in range(NO)]
+            bk = [(zero, zero) if j in kn_slot
+                  else tf.mul_f32(tf.mul(wk, ck[j]), s[j])
+                  for j in range(NO)]
 
             def srefine(_, ys):
                 ys_p = [(ys[0][j], ys[1][j]) for j in range(NO)]
@@ -449,6 +490,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                                    ([zero] * NO, [zero] * NO))
                 r = []
                 for j in range(NO):
+                    if j in kn_slot:
+                        r.append((zero, zero))
+                        continue
                     axj = tf.mul_f32((ax[0][j], ax[1][j]), s[j])
                     r.append(tf.sub(bk[j], axj))
                 dy = chol_solve([rj[0] for rj in r])
@@ -470,11 +514,11 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
 @partial(jax.jit, static_argnames=("dimension", "order", "weighting",
                                    "refine_steps", "interpret", "do_sens",
-                                   "max_iter"))
-def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
+                                   "max_iter", "knowns"))
+def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
                weighting: int, refine_steps: int = DS_REFINE_STEPS,
                interpret: bool = False, do_sens: bool = False,
-               max_iter: int = 0):
+               max_iter: int = 0, knowns: int = 0):
     """Fused-kernel fit of a homogeneous batch (see module docstring).
 
     xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
@@ -490,7 +534,8 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     store_basis = _store_basis(dimension, order, K, do_sens)
     kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
                                    refine_steps, store_basis, do_sens,
-                                   max_iter)
+                                   max_iter, knowns)
+    KN = [j for j in range(NO) if (knowns >> j) & 1]
 
     # host-side (XLA) preprocessing: ds split + tile layout
     delta = xk - xi[:, None, :]
@@ -514,8 +559,19 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     def to_tiles1(x):  # (B,) -> (nblk, 8, 128)
         return x.reshape(nblk, TILE_S, TILE_L)
 
-    args = (to_tiles(dhi), to_tiles(dlo), to_tiles(fkhi), to_tiles(fklo),
-            to_tiles(kmask.astype(jnp.float32)), to_tiles1(inv_s))
+    args = [to_tiles(dhi), to_tiles(dlo), to_tiles(fkhi), to_tiles(fklo),
+            to_tiles(kmask.astype(jnp.float32)), to_tiles1(inv_s)]
+    if KN:
+        # prescribed known DOF values, moved to the radius-scaled space with
+        # the exact power-of-two factor (fi = x_hat * 2^(-e*deg))
+        gi = (jnp.zeros((B, NO), jnp.float64) if fi_init is None
+              else jnp.asarray(fi_init, jnp.float64))
+        degs = jnp.asarray(deg, jnp.float64)[None, :]
+        gihat = gi[:, KN] * jnp.exp2(e_s.astype(jnp.float64)[:, None]
+                                     * degs[:, KN])
+        ghi, glo = tf.from_f64(gihat)
+        args += [to_tiles(ghi), to_tiles(glo)]
+    args = tuple(args)
 
     grid = (nblk,)
     # None in the leading block dim squeezes it away, so the kernel sees
@@ -526,11 +582,12 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     for a in args:
         if a.ndim == 5:
             in_specs.append(pl.BlockSpec(
-                (None, K, dimension, TILE_S, TILE_L),
+                (None, a.shape[1], a.shape[2], TILE_S, TILE_L),
                 lambda i: (i, z, z, z, z)))
         elif a.ndim == 4:
             in_specs.append(pl.BlockSpec(
-                (None, K, TILE_S, TILE_L), lambda i: (i, z, z, z)))
+                (None, a.shape[1], TILE_S, TILE_L),
+                lambda i: (i, z, z, z)))
         else:
             in_specs.append(pl.BlockSpec(
                 (None, TILE_S, TILE_L), lambda i: (i, z, z)))
@@ -595,6 +652,12 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     dof_scale = jnp.exp2(-e_s.astype(jnp.float64)[:, None]
                          * jnp.asarray(deg, jnp.float64)[None, :])
     fi = fi_scaled * dof_scale
+    if KN:
+        # the ds pair only carries ~48 bits; restore the prescribed values
+        # bit-exactly (the engine copies them through untouched)
+        src = (jnp.zeros((B, NO), jnp.float64) if fi_init is None
+               else jnp.asarray(fi_init, jnp.float64))
+        fi = fi.at[:, jnp.asarray(KN)].set(src[:, jnp.asarray(KN)])
     res = [fi]
     nxt = 2
     if max_iter:
@@ -603,5 +666,9 @@ def fit_pallas(xk, fk, nk, xi, *, dimension: int, order: int,
     if do_sens:
         sens = (from_tiles(outs[nxt]).astype(jnp.float64)
                 + from_tiles(outs[nxt + 1]).astype(jnp.float64))  # (B, K, NO)
-        res.append(sens * dof_scale[:, None, :])
+        sens = sens * dof_scale[:, None, :]
+        if KN:
+            # NaN for known DOFs (reference: wlsqm/fitter/impl.pyx:775-779)
+            sens = sens.at[:, :, jnp.asarray(KN)].set(jnp.nan)
+        res.append(sens)
     return res[0] if len(res) == 1 else tuple(res)

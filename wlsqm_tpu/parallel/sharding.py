@@ -38,9 +38,16 @@ from wlsqm_tpu.ops import solve as solve_ops
 CASE_AXIS = "cases"
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = CASE_AXIS) -> Mesh:
-    """A 1-D device mesh over the first ``n_devices`` available devices."""
-    devs = jax.devices()
+def make_mesh(
+    n_devices: int | None = None,
+    axis_name: str = CASE_AXIS,
+    devices=None,
+) -> Mesh:
+    """A 1-D device mesh over the first ``n_devices`` available devices.
+
+    ``devices`` overrides device discovery (e.g. to pin a virtual CPU mesh).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is None:
         n_devices = len(devs)
     return Mesh(np.array(devs[:n_devices]), (axis_name,))

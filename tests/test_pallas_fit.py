@@ -154,6 +154,34 @@ def test_iterative(rng):
     assert it.min() >= 1 and it.max() <= 4
 
 
+def test_iterative_with_knowns(rng):
+    """ALGO_ITERATIVE + knowns: prescribed DOFs must not drift across
+    corrective iterations (regression: the corrective solve used to feed the
+    identity rows a nonzero RHS, drifting knowns from iteration 2 on)."""
+    xk, fk, nk, xi = _problem(rng, TILE, K=14, clustered=True)
+    NO = 6
+    mask = int(defs.b2_F | defs.b2_X)
+    fi0 = np.zeros((TILE, NO))
+    fi0[:, 0] = np.sin(np.asarray(xi)[:, 0])
+    fi0[:, 1] = 0.25
+    fi_p, iters = fit_pallas(xk, fk, nk, xi, jnp.asarray(fi0),
+                             dimension=2, order=2,
+                             weighting=defs.WEIGHT_UNIFORM,
+                             interpret=True, knowns=mask, max_iter=3)
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.asarray(fi0),
+        jnp.full((TILE,), 2, jnp.int32), jnp.full((TILE,), mask, jnp.int64),
+        jnp.full((TILE,), defs.WEIGHT_UNIFORM, jnp.int32),
+        dimension=2, NO=NO, iterative=True, max_iter=3)
+    fi_p, f64 = np.asarray(fi_p), np.asarray(f64)
+    # knowns pass through bit-exactly even after >1 corrective iteration
+    np.testing.assert_array_equal(fi_p[:, 0], fi0[:, 0])
+    np.testing.assert_array_equal(fi_p[:, 1], fi0[:, 1])
+    rel = np.abs(fi_p - f64).max() / np.abs(f64).max()
+    assert rel < 5e-6
+    assert np.asarray(iters).min() >= 1
+
+
 def test_knowns_elimination(rng):
     """Static knowns bitmask in-kernel: prescribed DOFs pass through
     bit-exactly, unknowns match the engine, sens NaN pattern matches."""

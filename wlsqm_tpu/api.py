@@ -125,9 +125,11 @@ def fit_many(
         agreement with the f64 path while avoiding slow emulated-f64
         factorization on TPU.
 
-    backend: "xla" (default), "pallas" (the fused VMEM-resident kernel —
-        fastest on TPU; homogeneous order, no knowns, single weighting, no
-        sens/iterative), or "auto" (pallas when eligible on TPU).
+    backend: "xla", "pallas" (the fused VMEM-resident kernel — fastest on
+        TPU; homogeneous batches only: one order, one weighting, one knowns
+        bitmask (any value — known DOFs are eliminated in-kernel);
+        ``do_sens`` and ``iterative`` are supported in-kernel), or "auto"
+        (pallas when eligible on TPU, masked XLA otherwise).
     refine_steps: kernel-backend speed/accuracy dial — number of ds
         residual sweeps after the direct solve (default
         pallas_fit.DS_REFINE_STEPS = 4; 2 is ~20% faster and fine for
@@ -210,7 +212,10 @@ def fit_many(
                 and np.asarray(weighting).min() == np.asarray(weighting).max()
                 and K >= (3 * NO) // 2
                 and pallas_fit.vmem_ok(dim, int(order_np.max()), K)):
-            fi_out = jnp.zeros((B, NO), xk.dtype)
+            # start from fi_init so inactive trailing DOFs of lower-order
+            # cases keep the caller's values (reference in/out fi semantics)
+            fi_out = (jnp.zeros((B, NO), xk.dtype) if fi_init_np is None
+                      else jnp.asarray(fi_init_np[:, :NO], xk.dtype))
             leftover = np.ones(B, bool)
             pairs = {(int(o), int(kn))
                      for o, kn in zip(order_np.tolist(), knowns_np.tolist())}

@@ -51,3 +51,40 @@ def default_dtype():
     import jax.numpy as jnp
 
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Compat-layer kernel routing (explicit knob).
+#
+# The drop-in ``wlsqm`` compat layer (``fit_*``, ``ExpertSolver`` with the
+# default precision) may route eligible batches through the fused ds-grade
+# Pallas kernel on TPU.  The documented default accuracy contract of that
+# routing is **ds-grade**: ~1e-12 typical agreement with the f64 engine, a
+# conditioning-driven floor of roughly cond(A_scaled) x 1e-13 on the
+# highest-degree DOFs of ill-conditioned order-4 fits (see docs/porting.md).
+# Select "f64" to keep the compat layer on the emulated-f64 engine for
+# strict reference parity; the WLSQM_TPU_NO_KERNEL_COMPAT environment
+# variable provides the same opt-out at process start.
+#
+# APIs that take an explicit ``precision`` argument (``ExpertSolver``,
+# ``api.fit_many``) always honor it: ``precision="f64"`` never routes
+# through the ds kernel regardless of this knob.
+# ---------------------------------------------------------------------------
+
+_COMPAT_PRECISION = ("f64" if os.environ.get("WLSQM_TPU_NO_KERNEL_COMPAT")
+                     else "ds")
+
+
+def set_compat_precision(mode: str) -> None:
+    """Set the compat layer's auto-routing precision: "ds" or "f64"."""
+    global _COMPAT_PRECISION
+    if mode not in ("ds", "f64"):
+        raise ValueError(
+            "compat precision must be 'ds' (kernel routing allowed) or "
+            "'f64' (strict engine parity); got %r" % (mode,))
+    _COMPAT_PRECISION = mode
+
+
+def compat_precision() -> str:
+    """The compat layer's auto-routing precision ("ds" or "f64")."""
+    return _COMPAT_PRECISION

@@ -81,26 +81,32 @@ class ExpertSolver:
     ``ntasks`` (accepted for compatibility — parallelism is the batch axis);
     ``debug`` (compute 2-norm condition numbers during prepare);
     ``host`` (guest mode: share another prepared solver's geometry arrays);
-    ``precision`` — "f64" (reference-exact, default), or "mixed"/"fast"/"ds"
-    for the TPU fast paths (~1e-12 agreement with f64 on benchmark-scale
+    ``precision`` — None (default: the engine runs f64, but eligible
+    batches may auto-route through the fused ds-grade kernel on TPU, per
+    :func:`wlsqm_tpu.config.compat_precision`), "f64" (strict
+    reference-exact — never kernel-routed), or "mixed"/"fast"/"ds" for the
+    TPU fast paths (~1e-12 agreement with f64 on benchmark-scale
     neighborhoods; see :mod:`wlsqm_tpu.fitter.engine`).
 
     Unlike the reference, the prepared state is an immutable pytree of JAX
     arrays (:attr:`prepared`), so solvers are cheap to snapshot/serialize and
     guest instances cannot dangle.
 
-    On TPU, ALGO_BASIC solves on kernel-eligible batches (homogeneous order,
-    no knowns, enough neighbors, >= 1024 cases) route through the fused
+    On TPU, solves on kernel-eligible batches (homogeneous order/knowns/
+    weighting, enough neighbors, >= 1024 cases) route through the fused
     Pallas kernel — a VMEM-resident refit is faster there than
     back-substituting the prepared factorization, at ds-grade accuracy
-    (~1e-12 typical).  Set ``WLSQM_TPU_NO_KERNEL_COMPAT=1`` to keep solves
-    on the prepared path at the selected ``precision``.
+    (~1e-12 typical, conditioning floor ~cond x 1e-13).  Pass
+    ``precision="f64"`` (or set
+    ``wlsqm_tpu.config.set_compat_precision("f64")`` /
+    ``WLSQM_TPU_NO_KERNEL_COMPAT=1``) to keep solves on the prepared path
+    at the selected precision.
     """
 
     def __init__(self, dimension, nk, order, knowns, weighting_method,
                  algorithm=defs.ALGO_BASIC, do_sens=False, max_iter=10,
                  ntasks=1, debug=False, host=None,
-                 precision="f64", scaling=None, solver=None):
+                 precision=None, scaling=None, solver=None):
         nk = np.asarray(nk, dtype=np.int32)
         order = np.asarray(order, dtype=np.int32)
         knowns = np.asarray(knowns, dtype=np.int64)
@@ -167,8 +173,13 @@ class ExpertSolver:
         self.weighting_method = weighting_method
 
         # precision mode for the engine ("f64" reference-exact; "mixed",
-        # "fast" or "ds" for the TPU fast paths — see wlsqm_tpu.fitter.engine)
-        self.precision = precision
+        # "fast" or "ds" for the TPU fast paths — see wlsqm_tpu.fitter.engine).
+        # None = auto: the engine runs f64 but kernel auto-routing stays
+        # allowed; an *explicit* "f64" is an accuracy contract and disables
+        # kernel routing entirely (see _kernel_eligible).
+        self._precision_explicit = precision is not None
+        self.precision = "f64" if precision is None else precision
+        precision = self.precision
         if scaling is None:
             scaling = "ruiz" if precision == "f64" else "jacobi"
         if solver is None:
@@ -371,12 +382,21 @@ class ExpertSolver:
         return max_iters
 
     def _kernel_eligible(self, fk) -> bool:
-        """Whether solve() may route through the fused Pallas kernel."""
-        import os
+        """Whether solve() may route through the fused Pallas kernel.
 
+        An explicitly requested ``precision="f64"`` is an accuracy contract
+        (reference f64 solve: wlsqm/fitter/impl.pyx:731-846) and always
+        disables the ds-grade kernel; with the default (auto) precision the
+        routing follows the documented compat knob
+        (:func:`wlsqm_tpu.config.compat_precision`).
+        """
         import jax
 
-        if os.environ.get("WLSQM_TPU_NO_KERNEL_COMPAT"):
+        from wlsqm_tpu import config
+
+        if self._precision_explicit and self.precision == "f64":
+            return False
+        if config.compat_precision() == "f64":
             return False
         if jax.default_backend() == "cpu" or self.xk is None:
             return False

@@ -145,12 +145,15 @@ def _fit_many_impl(
 
     # route eligible batches through the fused Pallas kernel on accelerator
     # backends (order-of-magnitude faster; see ops/pallas_fit).  The kernel
-    # returns ds-grade DOFs (~1e-12 on benchmark clouds, up to ~1e-9 on
-    # order-4 mixtures); set WLSQM_TPU_NO_KERNEL_COMPAT=1 to keep the compat
+    # returns ds-grade DOFs (~1e-12 on benchmark clouds, conditioning floor
+    # ~cond x 1e-13 on ill-conditioned order-4 fits); the routing is an
+    # explicit documented knob — call
+    # wlsqm_tpu.config.set_compat_precision("f64") (or set
+    # WLSQM_TPU_NO_KERNEL_COMPAT=1 at process start) to keep the compat
     # layer on the emulated-f64 engine for strict reference parity.
-    import os
+    from wlsqm_tpu import config as _config
 
-    strict = bool(os.environ.get("WLSQM_TPU_NO_KERNEL_COMPAT"))
+    strict = _config.compat_precision() == "f64"
     if not (debug or strict):
         import jax
 
@@ -174,9 +177,10 @@ def _fit_many_impl(
                 jnp.asarray(xk_b), jnp.asarray(fk), jnp.asarray(xi_b),
                 nk=jnp.asarray(nk), order=order, knowns=knowns,
                 weighting=weighting_method, fi_init=jnp.asarray(fi_in),
-                max_order=int(order.max()), backend="auto")
+                max_order=int(order.max()), backend="auto",
+                iterative=bool(iterative), max_iter=int(max_iter))
             fi[:, :NO] = np.asarray(res.fi)[:B]
-            return 0
+            return int(np.asarray(res.iterations)[:B].max(initial=0))
         if (jax.default_backend() != "cpu"
                 and B >= pallas_fit.TILE
                 and K >= (3 * NOmax) // 2   # conditioning margin, see api

@@ -427,10 +427,20 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 # f64 vector, which Mosaic's layout inference aborts on
                 done_now = jnp.maximum(done,
                                        (nrm == prev).astype(jnp.float32))
-                dy = chol_solve([bh[j] * s[j] for j in range(NO)])
+                # zero known-DOF rows of the corrective RHS: the identity
+                # row of the masked factor would otherwise return
+                # dy_j = bh_j != 0 and drift the prescribed coefficients
+                # each iteration (reference updates unknowns only,
+                # wlsqm/fitter/impl.pyx:1076-1078)
+                dy = chol_solve([zero if j in kn_slot else bh[j] * s[j]
+                                 for j in range(NO)])
                 upd = done_now == 0.0
                 oh, ol = [], []
                 for j in range(NO):
+                    if j in kn_slot:
+                        oh.append(xh[j][0])
+                        ol.append(xh[j][1])
+                        continue
                     nx = tf.add(xh[j], (jnp.where(upd, dy[j] * s[j], 0.0),
                                         zero))
                     oh.append(jnp.where(upd, nx[0], xh[j][0]))

@@ -1,0 +1,181 @@
+"""Conditioning-aware automatic backend routing.
+
+The ds kernel's error floor is ~ 2e-15 * cond(A_jacobi) * inv_s**order
+(wlsqm_tpu/fitter/condprobe.py; calibrated on real TPU across radii
+0.03-1.0, both weightings — see benchmarks/README.md).  backend="auto"
+must route batches whose predicted floor exceeds the 1e-10 parity bar to
+the f64 engine.  The probe's accept/reject decisions here are pinned
+against the measured TPU sweep: every configuration the probe accepts
+measured <= 1e-10 worst-case kernel-vs-f64 error on hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import wlsqm_tpu as wt
+from wlsqm_tpu import api
+from wlsqm_tpu.fitter import condprobe, defs, engine
+from wlsqm_tpu.ops import pallas_fit
+
+
+def _cloud(rng, B, K, radius):
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-radius, radius, (B, K, 2))
+    return xk, xi
+
+
+def test_floor_scales_with_radius(rng):
+    """Predicted floor grows ~radius**-order as the de-scale amplifies."""
+    floors = []
+    for radius in (1.0, 0.3, 0.1, 0.03):
+        xk, xi = _cloud(rng, 512, 30, radius)
+        floors.append(condprobe.ds_floor(xk, None, xi, 4, defs.WEIGHT_CENTER,
+                                         dimension=2))
+    assert all(a < b for a, b in zip(floors, floors[1:]))
+    assert floors[-1] / floors[0] > 1e3
+
+
+@pytest.mark.parametrize("weighting", [defs.WEIGHT_UNIFORM,
+                                       defs.WEIGHT_CENTER])
+def test_radius_sweep_guard_decisions(rng, weighting):
+    """Order-4 radius sweep (the VERDICT scenario): the probe must reject
+    every radius whose measured TPU kernel error exceeded 1e-10, and accept
+    the well-conditioned benchmark-style cloud."""
+    for K in (24, 30):
+        for radius in (0.05, 0.1, 0.15, 0.3):
+            xk, xi = _cloud(rng, 512, K, radius)
+            assert not condprobe.kernel_accuracy_ok(
+                xk, None, xi, 4, weighting, dimension=2), \
+                f"guard must reject r={radius} K={K} (measured > 1e-10)"
+    # comfortably over-determined O(1)-radius clouds stay eligible
+    # (measured <= 2e-11 on TPU at K=30..40, both weightings)
+    xk = rng.uniform(-1, 1, (512, 40, 2))
+    xi = np.zeros((512, 2))
+    assert condprobe.kernel_accuracy_ok(xk, None, xi, 4, weighting,
+                                        dimension=2)
+
+
+def test_benchmark_config_stays_eligible(rng):
+    """The headline benchmark cloud (uniform [-1,1], K=30, order 4,
+    WEIGHT_CENTER — measured 1.7e-12 on TPU) must pass the guard; the
+    same geometry with WEIGHT_UNIFORM is marginal (pred*safety just over
+    the bar) and the guard is deliberately conservative there."""
+    xk = rng.uniform(-1, 1, (512, 30, 2))
+    xi = np.zeros((512, 2))
+    assert condprobe.kernel_accuracy_ok(xk, None, xi, 4, defs.WEIGHT_CENTER,
+                                        dimension=2)
+
+
+def test_low_order_small_radius_accepted(rng):
+    """Order-2 fits have tiny amplification: small radii stay eligible."""
+    xk, xi = _cloud(rng, 512, 20, 0.1)
+    assert condprobe.kernel_accuracy_ok(xk, None, xi, 2, defs.WEIGHT_UNIFORM,
+                                        dimension=2)
+
+
+def test_degenerate_geometry_rejected(rng):
+    """All-coincident neighbors (singular A) must fail closed."""
+    xi = np.zeros((512, 2))
+    xk = np.zeros((512, 30, 2))
+    assert not condprobe.kernel_accuracy_ok(
+        xk, None, xi, 4, defs.WEIGHT_UNIFORM, dimension=2)
+
+
+class _KernelSpy:
+    def __init__(self, orig):
+        self.orig = orig
+        self.calls = 0
+
+    def __call__(self, *args, **kwargs):
+        self.calls += 1
+        kwargs["interpret"] = True  # run the real kernel via the interpreter
+        return self.orig(*args, **kwargs)
+
+
+def _spy(monkeypatch):
+    spy = _KernelSpy(pallas_fit.fit_pallas)
+    monkeypatch.setattr(pallas_fit, "fit_pallas", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    return spy
+
+
+def test_default_backend_hits_kernel_when_eligible(rng, monkeypatch):
+    """fit_many's default backend is auto: on an accelerator, an eligible
+    well-conditioned batch goes through the fused kernel."""
+    spy = _spy(monkeypatch)
+    B = pallas_fit.TILE
+    xk = rng.uniform(-1, 1, (B, 30, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    res = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), order=2)
+    assert spy.calls == 1
+    # sanity: kernel output is a real fit (F DOF ~ field at origin)
+    assert np.isfinite(np.asarray(res.fi)).all()
+
+
+def test_auto_routes_ill_conditioned_to_f64(rng, monkeypatch):
+    """A tiny-radius order-4 batch must NOT go through the kernel under
+    auto, and must agree with the f64 engine exactly (it IS the engine)."""
+    spy = _spy(monkeypatch)
+    B = pallas_fit.TILE
+    xk, xi = _cloud(rng, B, 30, 0.05)
+    fk = np.sin(3 * xk[..., 0]) * np.cos(2 * xk[..., 1])
+    res = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(xi),
+                       order=4)
+    assert spy.calls == 0
+    ref = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(xi),
+                       order=4, backend="xla", precision="f64")
+    np.testing.assert_array_equal(np.asarray(res.fi), np.asarray(ref.fi))
+
+
+def test_explicit_f64_precision_never_kernel_routed(rng, monkeypatch):
+    """precision='f64' is a contract: auto must skip the kernel even for a
+    perfectly conditioned batch."""
+    spy = _spy(monkeypatch)
+    B = pallas_fit.TILE
+    xk = rng.uniform(-1, 1, (B, 30, 2))
+    fk = np.sin(xk[..., 0])
+    api.fit_many(jnp.asarray(xk), jnp.asarray(fk), order=2, precision="f64")
+    assert spy.calls == 0
+
+
+def test_auto_kernel_matches_f64_engine_on_eligible_batch(rng, monkeypatch):
+    """End-to-end auto routing through the (interpreted) kernel stays close
+    to the f64 engine on an accepted batch.  The interpreter's ds pair
+    arithmetic degrades on XLA:CPU (see tests/test_pallas_fit.py), so the
+    bound here is f32-grade; the <=1e-10 envelope itself is hardware-
+    validated (benchmarks/README.md cond sweep)."""
+    spy = _spy(monkeypatch)
+    B = pallas_fit.TILE
+    xk = rng.uniform(-1, 1, (B, 30, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    res = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), order=4,
+                       weighting=defs.WEIGHT_CENTER)
+    assert spy.calls == 1
+    ref = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), order=4,
+                       weighting=defs.WEIGHT_CENTER,
+                       backend="xla", precision="f64")
+    rel = (np.abs(np.asarray(res.fi) - np.asarray(ref.fi)).max()
+           / np.abs(np.asarray(ref.fi)).max())
+    assert rel < 5e-5
+
+
+def test_heterogeneous_bucketing_respects_guard(rng, monkeypatch):
+    """Mixed-order batches: eligible groups route to the kernel, but if the
+    geometry is ill-conditioned for order 4 the order-4 group must fall
+    back to XLA while staying correct."""
+    spy = _spy(monkeypatch)
+    B = 2 * pallas_fit.TILE
+    xk, xi = _cloud(rng, B, 30, 0.05)   # too tight for order 4, ok for 2
+    fk = np.sin(3 * xk[..., 0])
+    order = np.where(np.arange(B) % 2 == 0, 2, 4).astype(np.int32)
+    res = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(xi),
+                       order=order, max_order=4)
+    # order-2 group eligible (1 kernel call); order-4 group rejected
+    assert spy.calls == 1
+    ref = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(xi),
+                       order=order, max_order=4, backend="xla")
+    fi, fi_ref = np.asarray(res.fi), np.asarray(ref.fi)
+    rel = np.abs(fi - fi_ref).max() / np.abs(fi_ref).max()
+    assert rel < 5e-5

@@ -24,9 +24,12 @@ from wlsqm_tpu.ops import pallas_fit
 
 
 def _cloud(B, K, seed):
+    # O(1)-radius neighborhoods with comfortable overdetermination so the
+    # conditioning probe (condprobe.kernel_accuracy_ok) accepts the order-4
+    # groups; tighter geometry is exercised in tests/test_autorouting.py
     rng = np.random.default_rng(seed)
     xi = rng.uniform(-1.0, 1.0, (B, 2))
-    xk = xi[:, None, :] + rng.uniform(-0.4, 0.4, (B, K, 2))
+    xk = xi[:, None, :] + rng.uniform(-1.0, 1.0, (B, K, 2))
     fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
     return xk, fk, xi
 
@@ -55,7 +58,7 @@ def fake_tpu(monkeypatch):
 
 def test_mixed_order_bucketing_merges(fake_tpu):
     T = pallas_fit.TILE
-    B, K = 2 * T + 7, 24  # order-4 NO=15 -> margin needs K >= 22
+    B, K = 2 * T + 7, 40  # order-4 NO=15 -> margin needs K >= 22
     xk, fk, xi = _cloud(B, K, 42)
     rng = np.random.default_rng(1)
     order = np.where(rng.random(B) < 0.5, 2, 4).astype(np.int32)
@@ -78,7 +81,7 @@ def test_mixed_order_bucketing_merges(fake_tpu):
 
 def test_small_group_falls_back_to_xla(fake_tpu):
     T = pallas_fit.TILE
-    B, K = T + 16, 24
+    B, K = T + 16, 40
     xk, fk, xi = _cloud(B, K, 7)
     order = np.full(B, 4, np.int32)
     order[:16] = 1  # tiny group: below TILE, must go through the XLA pass
@@ -105,7 +108,7 @@ def test_knowns_split_routes_free_cases_to_kernel(fake_tpu):
     """knowns!=0 cases (e.g. Neumann boundary points) go through the masked
     XLA pass; the interior knowns==0 majority still hits the kernel."""
     T = pallas_fit.TILE
-    B, K = T + 40, 24
+    B, K = T + 40, 40
     xk, fk, xi = _cloud(B, K, 11)
     knowns = np.zeros(B, np.int64)
     knowns[-40:] = defs.b2_F  # "boundary" cases with F known

@@ -105,11 +105,11 @@ def fit_many(
     max_iter: int = 10,
     max_order: int | None = None,
     debug: bool = False,
-    precision: str = engine.PRECISION_F64,
+    precision: str | None = None,
     ruiz_max_iter: int = 100,
     scaling: str = "ruiz",
     solver: str = solve_ops.SOLVER_CHOLESKY,
-    backend: str = "xla",
+    backend: str = "auto",
     refine_steps: int | None = None,
 ) -> FitResult:
     """Fit a batch of local surrogate models (JAX-native).
@@ -120,16 +120,22 @@ def fit_many(
     nk: (B,) valid neighbor counts; defaults to K for every case
     order / knowns / weighting: scalars or (B,) arrays (scalars broadcast)
     fi_init: (B, NO) initial DOF array carrying the known values; zeros if None
-    precision: "f64" (reference-exact), "mixed" or "fast" — see
-        :mod:`wlsqm_tpu.fitter.engine`; the non-f64 modes keep ~1e-12
-        agreement with the f64 path while avoiding slow emulated-f64
-        factorization on TPU.
+    precision: None (default — the engine path runs "f64", and auto kernel
+        routing stays allowed), "f64" (explicit reference-exact contract:
+        ``backend="auto"`` will never route through the ds kernel), or
+        "mixed"/"fast"/"ds" — see :mod:`wlsqm_tpu.fitter.engine`; the
+        non-f64 modes keep ~1e-12 agreement with the f64 path while
+        avoiding slow emulated-f64 factorization on TPU.
 
-    backend: "xla", "pallas" (the fused VMEM-resident kernel — fastest on
-        TPU; homogeneous batches only: one order, one weighting, one knowns
-        bitmask (any value — known DOFs are eliminated in-kernel);
-        ``do_sens`` and ``iterative`` are supported in-kernel), or "auto"
-        (pallas when eligible on TPU, masked XLA otherwise).
+    backend: "auto" (default — the fused Pallas kernel when the batch is
+        eligible on an accelerator AND the conditioning probe
+        (:mod:`wlsqm_tpu.fitter.condprobe`) predicts f64-grade (<= 1e-10)
+        agreement; masked XLA otherwise), "pallas" (force the fused
+        VMEM-resident kernel — fastest on TPU; homogeneous batches only:
+        one order, one weighting, one knowns bitmask (any value — known
+        DOFs are eliminated in-kernel); ``do_sens`` and ``iterative`` are
+        supported in-kernel; no accuracy guard), or "xla" (the masked
+        batched-XLA engine at the selected ``precision``).
     refine_steps: kernel-backend speed/accuracy dial — number of ds
         residual sweeps after the direct solve (default
         pallas_fit.DS_REFINE_STEPS = 4; 2 is ~20% faster and fine for
@@ -151,20 +157,32 @@ def fit_many(
         max_order = int(np.max(np.asarray(order)))
     NO = defs.number_of_dofs(dim, max_order)
 
+    # an explicit precision="f64" is an accuracy contract: auto routing must
+    # not substitute the ds-grade kernel (explicit backend="pallas" wins)
+    strict_f64 = precision == engine.PRECISION_F64
+    if precision is None:
+        precision = engine.PRECISION_F64
+
     if backend in ("pallas", "auto"):
+        from wlsqm_tpu.fitter import condprobe
         from wlsqm_tpu.ops import pallas_fit
 
         on_cpu = jax.default_backend() == "cpu"
-        # auto additionally demands overdetermination margin: near-determined
-        # systems (K close to the DOF count) are ill-conditioned enough that
-        # the ds accuracy floor becomes visible; route those to f64 instead
+        # auto additionally demands overdetermination margin AND an
+        # f64-grade prediction from the conditioning probe: the ds floor is
+        # ~cond(A_jacobi) * inv_s**order * 2e-15 (condprobe docstring), so
+        # ill-conditioned or tiny-radius high-order batches go to f64
         margin_ok = K >= (3 * NO) // 2
         eligible = (
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
                                  np.asarray(weighting), K=K, do_sens=do_sens)
             and not debug
             # on CPU the kernel only runs interpreted (slow); auto avoids it
-            and (backend == "pallas" or (not on_cpu and margin_ok))
+            and (backend == "pallas"
+                 or (not on_cpu and margin_ok and not strict_f64
+                     and condprobe.kernel_accuracy_ok(
+                         xk, nk, xi, np.asarray(order), np.asarray(weighting),
+                         dimension=dim, knowns=int(np.max(np.asarray(knowns))))))
         )
         if eligible:
             pad = (-B) % pallas_fit.TILE
@@ -209,6 +227,7 @@ def fit_many(
         fi_init_np = None if fi_init is None else np.asarray(fi_init)
         if (backend == "auto" and not on_cpu
                 and not do_sens and not iterative and not debug
+                and not strict_f64
                 and np.asarray(weighting).min() == np.asarray(weighting).max()
                 and K >= (3 * NO) // 2
                 and pallas_fit.vmem_ok(dim, int(order_np.max()), K)):
@@ -223,6 +242,12 @@ def fit_many(
                 sel = np.nonzero((order_np == o) & (knowns_np == kn))[0]
                 if len(sel) < pallas_fit.TILE:
                     continue  # too small to amortize; leave for the XLA pass
+                if not condprobe.kernel_accuracy_ok(
+                        np.asarray(xk)[sel], np.asarray(nk)[sel],
+                        np.asarray(xi)[sel], int(o),
+                        int(np.max(np.asarray(weighting))),
+                        dimension=dim, knowns=int(kn)):
+                    continue  # predicted ds floor above the parity bar
                 pad = (-len(sel)) % pallas_fit.TILE
                 idx = np.concatenate([sel, sel[:1].repeat(pad)])
                 rs = (dict(refine_steps=refine_steps)

@@ -1,0 +1,145 @@
+"""Cheap host-side accuracy probe for automatic kernel routing.
+
+The fused Pallas kernel (:mod:`wlsqm_tpu.ops.pallas_fit`) computes in
+double-single f32 pairs on the radius-prescaled, Jacobi-scaled normal
+equations.  Its worst-case relative DOF error against the f64 engine is
+empirically (TPU v5e, 2D order-4 sweep over radii 0.03–1.0, both
+weightings, K in {24, 30}, 28,672 cases — see benchmarks/README.md):
+
+    err_max  ~=  DS_UNIT * cond2(A_jacobi) * inv_s**order
+
+where ``inv_s = 2**-e`` is the kernel's power-of-two radius prescale
+(> 1 for sub-unit neighborhoods) and ``DS_UNIT ~= 2e-15`` with ±4x
+scatter.  The two factors are the two distinct error sources:
+
+* ``cond2(A_jacobi)``: the double-single solve/refinement noise floor,
+  amplified by the conditioning of the *scaled* system (the quantity the
+  Jacobi preconditioner cannot remove).  Note this is invariant under the
+  radius prescale (diagonal scalings commute), so it can be probed on the
+  raw geometry.
+* ``inv_s**order``: the exact power-of-two DOF de-scaling — the solve's
+  absolute error in the scaled space lands on a vector whose high-degree
+  components are later multiplied by ``inv_s**degree``.
+
+``backend="auto"`` and the compat layer use :func:`kernel_accuracy_ok`
+to route batches whose predicted floor (with a 4x safety factor) exceeds
+the 1e-10 reference-parity bar to the f64 engine instead.  This replaces
+the round-1 geometry-only ``K >= 1.5*NO`` margin guard, which the
+VERDICT showed admits cond~1e5 order-4 clouds with ~3.6e-8 ds error
+(reference accuracy motivation: README.md:76-78 — ill-conditioned
+high-order fits are exactly where the reference's Ruiz scaling earns its
+keep, reference: wlsqm/fitter/impl.pyx:646-655).
+
+The probe itself is pure NumPy on a deterministic sample of cases:
+assemble the weighted normal matrix, Jacobi-scale, cond via SVD —
+~milliseconds for the default 256-case sample, no device round-trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from wlsqm_tpu.fitter import defs, tables
+
+#: double-single effective unit roundoff of the fused kernel's solve
+#: (empirical fit constant, see module docstring)
+DS_UNIT = 2e-15
+
+#: routing bar: predicted floor above this routes to the f64 engine
+AUTO_TOL = 1e-10
+
+#: multiplier on the predicted floor to absorb the empirical +-4x scatter
+SAFETY = 4.0
+
+#: default number of sampled cases per probe
+SAMPLE = 256
+
+
+def _sample_idx(B: int, sample: int) -> np.ndarray:
+    """Deterministic sample covering the batch (first/last included)."""
+    if B <= sample:
+        return np.arange(B)
+    return np.unique(np.linspace(0, B - 1, sample).astype(np.int64))
+
+
+def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
+             knowns: int = 0, sample: int = SAMPLE) -> float:
+    """Predicted worst-case kernel relative DOF error over a case sample.
+
+    xk (B, K, dim) | nk (B,) or None | xi (B, dim) | order scalar or (B,)
+    | weighting scalar or (B,).  Host NumPy only; device arrays are pulled
+    through ``np.asarray`` (the sample is gathered first when possible).
+    """
+    xk = np.asarray(xk, dtype=np.float64)
+    B, K, dim = xk.shape
+    idx = _sample_idx(B, sample)
+
+    xk_s = np.asarray(xk[idx])
+    xi_s = np.asarray(np.asarray(xi, dtype=np.float64)[idx])
+    order_a = np.broadcast_to(np.asarray(order, np.int32), (B,))[idx]
+    weighting_a = np.broadcast_to(np.asarray(weighting, np.int32), (B,))[idx]
+    if nk is None:
+        nk_s = np.full(len(idx), K, np.int32)
+    else:
+        nk_s = np.asarray(np.asarray(nk, np.int32)[idx])
+
+    omax = int(order_a.max())
+    NO = defs.number_of_dofs(dimension, omax)
+    exp = tables.EXPONENTS[dimension][:NO]            # (NO, dim)
+    invf = tables.INV_FACT[dimension][:NO]
+
+    delta = xk_s - xi_s[:, None, :]
+    kmask = np.arange(K)[None, :] < nk_s[:, None]
+    delta = np.where(kmask[:, :, None], delta, 0.0)
+    d2 = (delta ** 2).sum(-1)
+
+    # the kernel's power-of-two radius prescale (engine.radius_pow2_scale)
+    h2 = np.where(kmask, d2, 0.0).max(-1)
+    e = np.ceil(0.5 * np.log2(np.where(h2 > 0, h2, 1.0)))
+    inv_s = np.exp2(-e)                                # (b,)
+
+    c = np.ones(delta.shape[:2] + (NO,))
+    for a in range(dim):
+        c = c * delta[..., a:a + 1] ** exp[:, a]
+    c = c * invf
+
+    # per-case active-DOF mask (lower orders truncate the basis)
+    no_per = np.array([defs.number_of_dofs(dimension, int(o))
+                       for o in order_a])
+    active = np.arange(NO)[None, :] < no_per[:, None]  # (b, NO)
+    if knowns:
+        kn = np.array([(int(knowns) >> j) & 1 for j in range(NO)], bool)
+        active = active & ~kn[None, :]
+
+    max_d2 = np.where(kmask, d2, 0.0).max(-1, keepdims=True)
+    t = 1.0 - np.sqrt(d2 / np.where(max_d2 > 0, max_d2, 1.0))
+    w_center = 1e-4 + (1 - 1e-4) * t * t
+    w = np.where(weighting_a[:, None] == defs.WEIGHT_CENTER,
+                 w_center, 1.0)
+    w = np.where(kmask, w, 0.0)
+
+    A = np.einsum("bkj,bk,bkm->bjm", c, w, c)
+    # mask inactive/known DOFs to identity rows/cols, like the kernel
+    act2 = active[:, :, None] & active[:, None, :]
+    eye = np.eye(NO)[None]
+    A = np.where(act2, A, 0.0) + np.where(active[:, :, None], 0.0, eye)
+
+    diag = np.einsum("bjj->bj", A)
+    s = 1.0 / np.sqrt(np.where(diag > 0, diag, 1.0))
+    As = A * s[:, :, None] * s[:, None, :]
+    cond = np.linalg.cond(As)
+
+    amp = np.maximum(inv_s, 1.0) ** order_a.astype(np.float64)
+    return float(DS_UNIT * (cond * amp).max())
+
+
+def kernel_accuracy_ok(xk, nk, xi, order, weighting, *, dimension: int,
+                       knowns: int = 0, tol: float = AUTO_TOL,
+                       sample: int = SAMPLE) -> bool:
+    """Whether auto routing may send this batch to the ds kernel."""
+    try:
+        floor = ds_floor(xk, nk, xi, order, weighting,
+                         dimension=dimension, knowns=knowns, sample=sample)
+    except (ValueError, np.linalg.LinAlgError):
+        return False  # degenerate geometry: let the f64 engine handle it
+    return floor * SAFETY <= tol

@@ -195,6 +195,7 @@ class ExpertSolver:
         self.prepared: engine.Prepared | None = None
         self._fi_internal = None  # last solved coefficients, (ncases, NO)
         self._kernel_geo = None   # padded device geometry for kernel solves
+        self._kernel_acc_ok = None  # cached conditioning-probe verdict
 
     # -- prepare -----------------------------------------------------------
 
@@ -229,6 +230,7 @@ class ExpertSolver:
         self.xi = xi
         self.xk = xk
         self._kernel_geo = None
+        self._kernel_acc_ok = None
         self.tree = None
 
         self.prepared = _prepare_jit(
@@ -405,10 +407,25 @@ class ExpertSolver:
         B, K = np.asarray(fk).shape
         if B < pallas_fit.TILE or K < (3 * self.NO) // 2:
             return False
-        return pallas_fit.supported(
-            self.dimension, np.asarray(self.order), np.asarray(self.knowns),
-            np.asarray(self.weighting_method), K=K,
-            do_sens=bool(self.do_sens))
+        if not pallas_fit.supported(
+                self.dimension, np.asarray(self.order), np.asarray(self.knowns),
+                np.asarray(self.weighting_method), K=K,
+                do_sens=bool(self.do_sens)):
+            return False
+        # conditioning probe (geometry-only, so cache it per prepare):
+        # predicted ds floor above the 1e-10 parity bar -> prepared f64 path
+        if self._kernel_acc_ok is None:
+            from wlsqm_tpu.fitter import condprobe
+
+            xk_b = (self.xk if self.dimension >= 2
+                    else np.asarray(self.xk).reshape(self.ncases, -1, 1))
+            xi_b = (self.xi if self.dimension >= 2
+                    else np.asarray(self.xi).reshape(self.ncases, 1))
+            self._kernel_acc_ok = condprobe.kernel_accuracy_ok(
+                xk_b, self.nk, xi_b, self.order, self.weighting_method,
+                dimension=self.dimension,
+                knowns=int(np.asarray(self.knowns).max()))
+        return self._kernel_acc_ok
 
     # -- global interpolation ---------------------------------------------
 

@@ -181,13 +181,21 @@ def _fit_many_impl(
                 iterative=bool(iterative), max_iter=int(max_iter))
             fi[:, :NO] = np.asarray(res.fi)[:B]
             return int(np.asarray(res.iterations)[:B].max(initial=0))
+        from wlsqm_tpu.fitter import condprobe
+
         if (jax.default_backend() != "cpu"
                 and B >= pallas_fit.TILE
-                and K >= (3 * NOmax) // 2   # conditioning margin, see api
+                and K >= (3 * NOmax) // 2   # neighbor margin, see api
                 and (not do_sens or sens is not None)
                 and pallas_fit.supported(dimension, order, knowns,
                                          weighting_method, K=K,
-                                         do_sens=bool(do_sens))):
+                                         do_sens=bool(do_sens))
+                # conditioning probe: route ill-conditioned batches to the
+                # f64 engine so the compat layer stays within its documented
+                # <= 1e-10 auto-routing envelope (condprobe docstring)
+                and condprobe.kernel_accuracy_ok(
+                    xk_b, nk, xi_b, order, weighting_method,
+                    dimension=dimension, knowns=int(knowns.max()))):
             pad = (-B) % pallas_fit.TILE
             xk_p = np.concatenate([xk_b, xk_b[:pad]]) if pad else xk_b
             fk_p = np.concatenate([fk, fk[:pad]]) if pad else fk

@@ -180,3 +180,151 @@ def test_distribute_items():
     np.testing.assert_array_equal(bi, [0, 4, 7])
     bs2, _ = distribute_items(2, 4)  # fewer items than tasks
     assert bs2.sum() == 2
+
+
+# -----------------------------------------------------------------------------
+# Batched m* families: one batched XLA program over the (n, n, nbatch) stack
+# (reference OpenMP analogue: wlsqm/utils/lapackdrivers.pyx:1088-1354,
+# 1551-1723).  Equivalence oracle: per-matrix NumPy solves.
+# -----------------------------------------------------------------------------
+
+def _sym_stack(rng, n, nb):
+    M = rng.standard_normal((n, n, nb))
+    S = (M + np.swapaxes(M, 0, 1)) / 2 + n * np.eye(n)[:, :, None]
+    return S
+
+
+def test_msymmetrize_vectorized(rng):
+    from wlsqm_tpu.utils.lapackdrivers import msymmetrize, msymmetrizep
+
+    n, nb = 5, 9
+    A0 = rng.standard_normal((n, n, nb))
+    A = np.asfortranarray(A0.copy())
+    msymmetrize(A)
+    for i in range(nb):
+        U = np.triu(A0[:, :, i])
+        np.testing.assert_array_equal(A[:, :, i], U + np.triu(A0[:, :, i], 1).T)
+    A2 = np.asfortranarray(A0.copy())
+    msymmetrizep(A2, ntasks=4)
+    np.testing.assert_array_equal(A2, A)
+
+
+def test_msymmetric_batched_equals_loop(rng):
+    from wlsqm_tpu.utils.lapackdrivers import msymmetric, msymmetricp
+
+    n, nb = 5, 11
+    A0 = _sym_stack(rng, n, nb)
+    # only the upper triangle is read (DSYSV contract): poison the lower
+    A_in = A0.copy()
+    il, jl = np.tril_indices(n, -1)
+    A_in[il, jl, :] = 777.0
+    b0 = rng.standard_normal((n, nb))
+    A = np.asfortranarray(A_in.copy())
+    b = np.asfortranarray(b0.copy())
+    msymmetric(A, b)
+    for i in range(nb):
+        np.testing.assert_allclose(
+            b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
+    # *p alias
+    A = np.asfortranarray(A_in.copy())
+    b2 = np.asfortranarray(b0.copy())
+    msymmetricp(A, b2, ntasks=4)
+    np.testing.assert_array_equal(b2, b)
+
+
+def test_msymmetricfactor_factored_pair(rng):
+    from wlsqm_tpu.utils.lapackdrivers import (
+        msymmetricfactor, msymmetricfactored,
+        msymmetricfactorp, msymmetricfactoredp,
+    )
+
+    n, nb = 6, 8
+    A0 = _sym_stack(rng, n, nb)
+    A = np.asfortranarray(A0.copy())
+    ipiv = np.zeros((n, nb), np.int32, order="F")
+    msymmetricfactor(A, ipiv)
+    # factor once, back-substitute twice with different data
+    for seed in (1, 2):
+        b0 = np.random.default_rng(seed).standard_normal((n, nb))
+        b = np.asfortranarray(b0.copy())
+        msymmetricfactored(A, ipiv, b)
+        for i in range(nb):
+            np.testing.assert_allclose(
+                b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
+    # *p aliases
+    A2 = np.asfortranarray(A0.copy())
+    ipiv2 = np.zeros((n, nb), np.int32, order="F")
+    msymmetricfactorp(A2, ipiv2, ntasks=4)
+    b0 = np.random.default_rng(1).standard_normal((n, nb))
+    b = np.asfortranarray(b0.copy())
+    msymmetricfactoredp(A2, ipiv2, b, ntasks=4)
+    for i in range(nb):
+        np.testing.assert_allclose(
+            b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
+
+
+def test_mgeneralfactor_factored_pair(rng):
+    from wlsqm_tpu.utils.lapackdrivers import (
+        mgeneralfactor, mgeneralfactored,
+    )
+
+    n, nb = 6, 8
+    A0 = rng.standard_normal((n, n, nb)) + n * np.eye(n)[:, :, None]
+    A = np.asfortranarray(A0.copy())
+    ipiv = np.zeros((n, nb), np.int32, order="F")
+    mgeneralfactor(A, ipiv)
+    for seed in (3, 4):
+        b0 = np.random.default_rng(seed).standard_normal((n, nb))
+        b = np.asfortranarray(b0.copy())
+        mgeneralfactored(A, ipiv, b)
+        for i in range(nb):
+            np.testing.assert_allclose(
+                b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
+
+
+def test_mgeneralfactor_interops_with_single_matrix_dgetrs(rng):
+    """The batched LU pair is dgetrf/dgetrs-format: a single slice of it
+    back-substitutes through the scalar generalfactored()."""
+    from wlsqm_tpu.utils.lapackdrivers import mgeneralfactor
+
+    n, nb = 5, 4
+    A0 = rng.standard_normal((n, n, nb)) + n * np.eye(n)[:, :, None]
+    A = np.asfortranarray(A0.copy())
+    ipiv = np.zeros((n, nb), np.int32, order="F")
+    mgeneralfactor(A, ipiv)
+    b0 = rng.standard_normal(n)
+    b = b0.copy()
+    generalfactored(np.asfortranarray(A[:, :, 2]), ipiv[:, 2].copy(), b)
+    np.testing.assert_allclose(b, np.linalg.solve(A0[:, :, 2], b0), atol=1e-10)
+
+
+def test_batched_timing_sanity(rng):
+    """The batched dispatch must not degrade to per-matrix Python-loop cost:
+    on a big stack one msymmetric call beats looping scipy per matrix.
+    (Generous 'not slower' bound — CI machines vary; the point is catching
+    a regression back to an O(nbatch) Python loop.)"""
+    import time
+
+    from wlsqm_tpu.utils.lapackdrivers import msymmetric, symmetric
+
+    n, nb = 15, 4096
+    A0 = _sym_stack(rng, n, nb)
+    b0 = rng.standard_normal((n, nb))
+
+    # warm up the compiled program (shape-specific jit)
+    A = np.asfortranarray(A0.copy()); b = np.asfortranarray(b0.copy())
+    msymmetric(A, b)
+
+    A = np.asfortranarray(A0.copy()); b = np.asfortranarray(b0.copy())
+    t0 = time.perf_counter()
+    msymmetric(A, b)
+    t_batched = time.perf_counter() - t0
+
+    A = np.asfortranarray(A0.copy()); b1 = np.asfortranarray(b0.copy())
+    t0 = time.perf_counter()
+    for i in range(nb):
+        symmetric(A[:, :, i], b1[:, i])
+    t_loop = time.perf_counter() - t0
+
+    np.testing.assert_allclose(b, b1, atol=1e-10)
+    assert t_batched < t_loop * 1.5, (t_batched, t_loop)

@@ -14,12 +14,27 @@ in-place semantics:
 
 Implementation notes.  Single-system calls go through SciPy's LAPACK (same
 routines the reference binds: dgesv/dgetrf/dgetrs/dsysv/dgtsv/dgesvd/dgeequ).
-The batched ``m*`` families dispatch to XLA's natively-batched linear algebra
-via JAX (one fused program for the whole batch — this is the TPU counterpart
-of the reference's OpenMP ``prange`` over LAPACK calls); the ``*p`` variants
-are aliases of their serial counterparts, since batching already uses the
-whole device.  The scaling algorithms are vectorized NumPy ports of the
-reference's published iterations (Ruiz 2001; Chiang–Chandler SCALGM 2008).
+The batched ``m*`` families each dispatch the whole (n, n, nbatch) stack as
+ONE vectorized batched-LAPACK call (NumPy/SciPy gufuncs: a single C loop
+over the stack with zero per-matrix Python overhead) — the host-side
+counterpart of the reference's OpenMP ``prange`` over per-matrix LAPACK
+calls (reference: wlsqm/utils/lapackdrivers.pyx:1088-1354,1551-1723).  The
+``*p`` variants are aliases of their serial counterparts, since batching
+already owns the machine.  These compat stacks are host-resident f64 NumPy
+arrays, so the host gufunc path beats a device round-trip (TPU f64 is
+software-emulated; the fitting engine's TPU-native batched linear algebra
+lives in :mod:`wlsqm_tpu.ops`, not here).
+
+Factored-pair representation: ``mgeneralfactor``/``mgeneralfactored`` use
+batched LU with pivots byte-compatible with LAPACK ``dgetrf``/``dgetrs`` —
+the pair interoperates with the single-matrix ``generalfactor(ed)``.  The
+batched *symmetric* factor family also uses LU (there is no batched
+Bunch–Kaufman): treat its (A, ipiv) strictly as an opaque pair consumed by
+``msymmetricfactored(p)`` — it is NOT interchangeable with the single-matrix
+``symmetricfactored`` (dsytrf/dsytrs format), unlike in the reference.
+
+The scaling algorithms are vectorized NumPy ports of the reference's
+published iterations (Ruiz 2001; Chiang–Chandler SCALGM 2008).
 """
 
 from __future__ import annotations
@@ -96,10 +111,15 @@ def symmetrize(A):
 
 
 def msymmetrize(A):
-    """Batched symmetrize; A has shape (n, n, nbatch) like the reference."""
+    """Batched symmetrize; A has shape (n, n, nbatch) like the reference.
+
+    One vectorized copy of the strict upper triangle into the lower — no
+    per-matrix loop (reference OpenMP site:
+    wlsqm/utils/lapackdrivers.pyx:236-256).
+    """
     A = np.asarray(A)
-    for b in range(A.shape[2]):
-        symmetrize(A[:, :, b])
+    iu, ju = np.triu_indices(A.shape[0], k=1)
+    A[ju, iu, :] = A[iu, ju, :]
 
 
 def msymmetrizep(A, ntasks):
@@ -371,17 +391,31 @@ def symmetricsp(A, b, ntasks):
     return symmetrics(A, b)
 
 
-def _mloop(A, fn):
-    """Apply fn to each (n, n) slice of an (n, n, nbatch) stack."""
-    for bidx in range(np.asarray(A).shape[2]):
-        fn(bidx)
+def _sym_from_upper_stack(A):
+    """(n, n, nbatch) -> (nbatch, n, n) symmetrized from the upper triangle.
+
+    The symmetric families read only the upper triangle, like DSYSV
+    (reference: wlsqm/utils/lapackdrivers.pyx:884-900).
+    """
+    S = np.moveaxis(np.asarray(A), 2, 0)
+    U = np.triu(S)
+    return U + np.swapaxes(np.triu(S, 1), -1, -2)
 
 
 def msymmetric(A, b):
-    """Batched symmetric solve: A (n,n,nbatch), b (n,nbatch), in place."""
-    A = np.asarray(A)
-    b = np.asarray(b)
-    _mloop(A, lambda i: symmetric(A[:, :, i], b[:, i]))
+    """Batched symmetric solve: A (n,n,nbatch), b (n,nbatch), in place.
+
+    The whole stack runs as one vectorized batched-LAPACK solve (reads the
+    upper triangles, like DSYSV); A is destroyed (overwritten by the
+    symmetrized matrices).  Reference OpenMP analogue:
+    wlsqm/utils/lapackdrivers.pyx:1088-1186.
+    """
+    A_np = np.asarray(A)
+    b_np = np.asarray(b)
+    S = _sym_from_upper_stack(A_np)
+    x = np.linalg.solve(S, np.ascontiguousarray(b_np.T)[..., None])
+    b_np[:] = x[..., 0].T
+    A_np[:] = np.moveaxis(S, 0, 2)  # mirror the "A destroyed" contract
 
 
 def msymmetricp(A, b, ntasks):
@@ -389,19 +423,35 @@ def msymmetricp(A, b, ntasks):
 
 
 def msymmetricfactor(A, ipiv):
-    """Batched dsytrf; fills ipiv (n, nbatch) in place."""
-    A = np.asarray(A)
-    ipiv = np.asarray(ipiv)
-    for i in range(A.shape[2]):
-        ipiv[:, i] = symmetricfactor(A[:, :, i])
+    """Batched factor of a symmetric stack; fills A and ipiv (n, nbatch).
+
+    One vectorized batched-LAPACK LU over the symmetrized stack (there is
+    no batched Bunch–Kaufman).  The resulting (A, ipiv) pair is OPAQUE:
+    pass it to ``msymmetricfactored(p)`` only — unlike the reference it is
+    not interchangeable with the single-matrix dsytrf/dsytrs pair (it is
+    dgetrf/dgetrs-format instead).  Reference:
+    wlsqm/utils/lapackdrivers.pyx:1196-1305.
+    """
+    A_np = np.asarray(A)
+    ipiv_np = np.asarray(ipiv)
+    lu, piv = scipy.linalg.lu_factor(_sym_from_upper_stack(A_np))
+    A_np[:] = np.moveaxis(lu, 0, 2)
+    ipiv_np[:] = np.asarray(piv, dtype=ipiv_np.dtype).T
 
 
 def msymmetricfactored(A, ipiv, b):
-    A = np.asarray(A)
-    ipiv = np.asarray(ipiv)
-    b = np.asarray(b)
-    for i in range(A.shape[2]):
-        symmetricfactored(A[:, :, i], ipiv[:, i], b[:, i])
+    """Batched back-substitution with an msymmetricfactor()-factored stack.
+
+    b (n, nbatch) overwritten; one vectorized batched-LAPACK solve.
+    """
+    A_np = np.asarray(A)
+    ipiv_np = np.asarray(ipiv)
+    b_np = np.asarray(b)
+    lu = np.ascontiguousarray(np.moveaxis(A_np, 2, 0))
+    piv = np.ascontiguousarray(ipiv_np.T)
+    x = scipy.linalg.lu_solve((lu, piv),
+                              np.ascontiguousarray(b_np.T)[..., None])
+    b_np[:] = x[..., 0].T
 
 
 def msymmetricfactorp(A, ipiv, ntasks):
@@ -467,30 +517,18 @@ def generalsp(A, b, ntasks):
     return generals(A, b)
 
 
-def _batched_jax_solve(A, b):
-    """One fused XLA batched solve for a stack of general systems.
-
-    A (n, n, nbatch), b (n, nbatch) — the reference's memory layout; batch
-    moved to the leading axis for XLA. This path runs on the default JAX
-    device (TPU when present).
-    """
-    import jax.numpy as jnp
-
-    Ab = jnp.asarray(np.moveaxis(np.asarray(A), 2, 0))
-    bb = jnp.asarray(np.asarray(b).T)[..., None]
-    x = jnp.linalg.solve(Ab, bb)
-    return np.asarray(x[..., 0]).T
-
-
 def mgeneral(A, b):
     """Batched general solve: A (n,n,nbatch), b (n,nbatch), in place.
 
-    Dispatches the whole batch to XLA's natively batched LU/solve — the
-    TPU-native analogue of the reference's OpenMP loop over dgesv calls
+    One vectorized batched-LAPACK solve over the whole stack — the
+    host-side analogue of the reference's OpenMP loop over dgesv calls
     (reference: wlsqm/utils/lapackdrivers.pyx:1551-1610).
     """
+    A_np = np.asarray(A)
     b_np = np.asarray(b)
-    b_np[:] = _batched_jax_solve(A, b_np)
+    Ab = np.ascontiguousarray(np.moveaxis(A_np, 2, 0))
+    x = np.linalg.solve(Ab, np.ascontiguousarray(b_np.T)[..., None])
+    b_np[:] = x[..., 0].T
 
 
 def mgeneralp(A, b, ntasks):
@@ -498,19 +536,31 @@ def mgeneralp(A, b, ntasks):
 
 
 def mgeneralfactor(A, ipiv):
-    """Batched dgetrf; fills ipiv (n, nbatch) in place."""
-    A = np.asarray(A)
-    ipiv = np.asarray(ipiv)
-    for i in range(A.shape[2]):
-        ipiv[:, i] = generalfactor(A[:, :, i])
+    """Batched LU factor; fills A and ipiv (n, nbatch) in place.
+
+    One vectorized batched-LAPACK ``getrf`` over the stack; the pivots are
+    dgetrf/dgetrs-format, so any single slice back-substitutes through the
+    scalar :func:`generalfactored` too.  Reference:
+    wlsqm/utils/lapackdrivers.pyx:1616-1689.
+    """
+    A_np = np.asarray(A)
+    ipiv_np = np.asarray(ipiv)
+    lu, piv = scipy.linalg.lu_factor(
+        np.ascontiguousarray(np.moveaxis(A_np, 2, 0)))
+    A_np[:] = np.moveaxis(lu, 0, 2)
+    ipiv_np[:] = np.asarray(piv, dtype=ipiv_np.dtype).T
 
 
 def mgeneralfactored(A, ipiv, b):
-    A = np.asarray(A)
-    ipiv = np.asarray(ipiv)
-    b = np.asarray(b)
-    for i in range(A.shape[2]):
-        generalfactored(A[:, :, i], ipiv[:, i], b[:, i])
+    """Batched back-substitution with an mgeneralfactor()-factored stack."""
+    A_np = np.asarray(A)
+    ipiv_np = np.asarray(ipiv)
+    b_np = np.asarray(b)
+    lu = np.ascontiguousarray(np.moveaxis(A_np, 2, 0))
+    piv = np.ascontiguousarray(ipiv_np.T)
+    x = scipy.linalg.lu_solve((lu, piv),
+                              np.ascontiguousarray(b_np.T)[..., None])
+    b_np[:] = x[..., 0].T
 
 
 def mgeneralfactorp(A, ipiv, ntasks):

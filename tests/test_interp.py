@@ -146,3 +146,43 @@ def test_interpolate_continuous_matches_expert_host_path(rng):
     got_x = np.asarray(num) / np.asarray(den)
     np.testing.assert_allclose(got_x[mask], ref_x[mask], rtol=1e-12,
                                atol=1e-12)
+
+
+def test_3d_order4_all_35_derivatives(rng):
+    """Fit a generic 3D quartic and check interpolate_fit for ALL 35
+    derivative DOFs at fresh query points against a SymPy oracle
+    (mirrors the reference's full 3D readout,
+    reference: examples/wlsqm_example.py:278)."""
+    import sympy as sp
+
+    from wlsqm_tpu.fitter import tables
+
+    NO = wt.number_of_dofs(3, 4)          # 35
+    assert NO == 35
+    exp = tables.EXPONENTS[3][:NO]
+
+    # a generic quartic: every monomial present with a distinct coefficient
+    coeffs = rng.uniform(-1.5, 1.5, NO)
+    x, y, z = sp.symbols("x y z")
+    poly = sum(float(a) * x**int(e[0]) * y**int(e[1]) * z**int(e[2])
+               for a, e in zip(coeffs, exp))
+    f = sp.lambdify((x, y, z), poly, "numpy")
+
+    xk = rng.uniform(-1, 1, (64, 3))
+    fk = f(xk[:, 0], xk[:, 1], xk[:, 2])
+    fi = np.zeros(NO)
+    wt.fit_3D(xk=xk, fk=fk, xi=np.zeros(3), fi=fi, sens=None, do_sens=False,
+              order=4, knowns=0, weighting_method=wt.WEIGHT_UNIFORM,
+              debug=False)
+
+    q = rng.uniform(-0.7, 0.7, (9, 3))
+    for diff in range(NO):
+        dpoly = sp.diff(poly, x, int(exp[diff, 0]), y, int(exp[diff, 1]),
+                        z, int(exp[diff, 2]))
+        want = sp.lambdify((x, y, z), dpoly, "numpy")(q[:, 0], q[:, 1], q[:, 2])
+        want = np.broadcast_to(np.asarray(want, np.float64), (len(q),))
+        got = wt.interpolate_fit(np.zeros(3), fi, dimension=3, order=4, x=q,
+                                 diff=diff)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-7, atol=1e-7,
+            err_msg=f"derivative DOF {diff} (exponents {exp[diff]})")

@@ -154,6 +154,44 @@ def test_iterative(rng):
     assert it.min() >= 1 and it.max() <= 4
 
 
+@pytest.mark.slow
+def test_3d_order4_no35_interpret(rng, monkeypatch):
+    """The NO=35 (3D order-4) kernel path through the interpreter.
+
+    Marked slow: the Pallas interpreter executes the 35-DOF unrolled
+    pipeline in ~9 minutes on CPU (measured; per-op interpreter overhead
+    x ~NO^2*K ops), so the default suite skips it — run with
+    ``pytest -m slow``.  The NO=35 kernel is also hardware-validated on
+    real TPU (benchmarks/README.md: 1.44 M fits/s, ds-floor accuracy vs
+    the f64 engine at K=48), and the XLA engine's NO=35 math is CI-covered
+    by tests/test_fuzz_oracle.py.
+    """
+    from wlsqm_tpu.ops import pallas_fit
+
+    # VMEM limits don't apply in interpret mode; storing the basis rows
+    # keeps the interpreter's op count (and runtime) down
+    monkeypatch.setattr(pallas_fit, "_store_basis", lambda *a: True)
+    B, K, NO = TILE, 40, 35
+    xi = np.asarray(rng.uniform(-1, 1, (B, 3)))
+    xk = xi[:, None, :] + rng.uniform(-1, 1, (B, K, 3))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1]) + xk[..., 2] ** 2
+    nk = jnp.full((B,), K, jnp.int32)
+    fi_p = np.asarray(pallas_fit.fit_pallas(
+        jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
+        dimension=3, order=4, weighting=defs.WEIGHT_UNIFORM,
+        interpret=True, refine_steps=1))
+    f64, _, _, _ = engine.fit_batch(
+        jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
+        jnp.zeros((B, NO)), jnp.full((B,), 4, jnp.int32),
+        jnp.zeros((B,), jnp.int64),
+        jnp.full((B,), defs.WEIGHT_UNIFORM, jnp.int32), dimension=3, NO=NO)
+    f64 = np.asarray(f64)
+    rel = np.abs(fi_p - f64).max() / np.abs(f64).max()
+    # CPU-interpret ds degradation at one refinement sweep; the TPU
+    # hardware figure for this config is 6.5e-14 (benchmarks/README.md)
+    assert rel < 5e-3, f"rel={rel:.2e}"
+
+
 def test_iterative_with_knowns(rng):
     """ALGO_ITERATIVE + knowns: prescribed DOFs must not drift across
     corrective iterations (regression: the corrective solve used to feed the

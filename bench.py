@@ -91,11 +91,29 @@ def main():
         )
         return fi
 
+    # production sweep count: the conditioning probe picks the cheapest
+    # refine_steps whose predicted error stays under the 1e-10 parity bar
+    # (wlsqm_tpu.fitter.condprobe; override with WLSQM_BENCH_REFINE_STEPS)
+    rs_env = os.environ.get("WLSQM_BENCH_REFINE_STEPS")
+    if rs_env is not None:
+        refine_steps = int(rs_env)
+    else:
+        from wlsqm_tpu.fitter import condprobe
+
+        key, sub = jax.random.split(key)
+        xk_probe = np.asarray(jax.random.uniform(
+            sub, (512, K, 2), jnp.float64, -1.0, 1.0))
+        refine_steps = condprobe.pick_refine_steps(
+            xk_probe, None, np.zeros((512, 2)), 4, defs.WEIGHT_CENTER,
+            dimension=2)
+    log("refine_steps=%s (probe-selected)" % (refine_steps,))
+
     def fit_chunk_pallas(xk, fk):
         from wlsqm_tpu.ops.pallas_fit import fit_pallas
 
         return fit_pallas(xk, fk, nk, xi, dimension=2, order=4,
-                          weighting=defs.WEIGHT_CENTER)
+                          weighting=defs.WEIGHT_CENTER,
+                          refine_steps=refine_steps)
 
     fit_chunk = fit_chunk_pallas if backend == "pallas" else fit_chunk_xla
 

@@ -179,3 +179,21 @@ def test_heterogeneous_bucketing_respects_guard(rng, monkeypatch):
     fi, fi_ref = np.asarray(res.fi), np.asarray(ref.fi)
     rel = np.abs(fi - fi_ref).max() / np.abs(fi_ref).max()
     assert rel < 5e-5
+
+
+def test_pick_refine_steps_scales_with_conditioning(rng):
+    """Sweep-count choice: benchmark-grade clouds run 2 sweeps, tighter
+    geometry gets more, and the choice never exceeds the default 4."""
+    xk = rng.uniform(-1, 1, (512, 30, 2))
+    xi = np.zeros((512, 2))
+    n_bench = condprobe.pick_refine_steps(xk, None, xi, 4,
+                                          defs.WEIGHT_CENTER, dimension=2)
+    assert n_bench == 2
+    xk2, xi2 = _cloud(rng, 512, 40, 1.0)
+    n_mid = condprobe.pick_refine_steps(xk2, None, xi2, 4,
+                                        defs.WEIGHT_UNIFORM, dimension=2)
+    assert 2 <= n_mid <= 4
+    # degenerate geometry falls back to the maximum
+    n_bad = condprobe.pick_refine_steps(np.zeros((512, 30, 2)), None, xi, 4,
+                                        defs.WEIGHT_UNIFORM, dimension=2)
+    assert n_bad == 4

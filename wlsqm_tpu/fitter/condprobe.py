@@ -62,9 +62,14 @@ def _sample_idx(B: int, sample: int) -> np.ndarray:
     return np.unique(np.linspace(0, B - 1, sample).astype(np.int64))
 
 
-def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
-             knowns: int = 0, sample: int = SAMPLE) -> float:
-    """Predicted worst-case kernel relative DOF error over a case sample.
+#: f32 unit roundoff — the per-sweep contraction rate of the kernel's
+#: refinement loop is ~F32_UNIT * cond (an f32 Cholesky preconditioner)
+F32_UNIT = 6e-8
+
+
+def _cond_amp(xk, nk, xi, order, weighting, *, dimension: int,
+              knowns: int = 0, sample: int = SAMPLE):
+    """Per-sampled-case (cond2(A_jacobi), inv_s**order) arrays.
 
     xk (B, K, dim) | nk (B,) or None | xi (B, dim) | order scalar or (B,)
     | weighting scalar or (B,).  Host NumPy only; device arrays are pulled
@@ -130,7 +135,29 @@ def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
     cond = np.linalg.cond(As)
 
     amp = np.maximum(inv_s, 1.0) ** order_a.astype(np.float64)
+    return cond, amp
+
+
+def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
+             knowns: int = 0, sample: int = SAMPLE) -> float:
+    """Predicted worst-case kernel relative DOF error (converged sweeps)."""
+    cond, amp = _cond_amp(xk, nk, xi, order, weighting, dimension=dimension,
+                          knowns=knowns, sample=sample)
     return float(DS_UNIT * (cond * amp).max())
+
+
+def predicted_error(cond, amp, refine_steps: int):
+    """Kernel error model at ``refine_steps`` ds sweeps after the solve.
+
+    Two regimes, both TPU-measured (benchmarks/README.md sweeps at 2 and 4
+    sweeps): the converged double-single floor ``DS_UNIT * cond``, and the
+    not-yet-converged refinement term ``(F32_UNIT * cond)**(n+1)`` (the f32
+    preconditioner contracts the error by ~F32_UNIT*cond per sweep, from an
+    initial f32-solve error of the same size).  The radius de-scale
+    amplifies whichever dominates.
+    """
+    rate = F32_UNIT * cond
+    return np.maximum(DS_UNIT * cond, rate ** (refine_steps + 1)) * amp
 
 
 def kernel_accuracy_ok(xk, nk, xi, order, weighting, *, dimension: int,
@@ -143,3 +170,38 @@ def kernel_accuracy_ok(xk, nk, xi, order, weighting, *, dimension: int,
     except (ValueError, np.linalg.LinAlgError):
         return False  # degenerate geometry: let the f64 engine handle it
     return floor * SAFETY <= tol
+
+
+#: safety multiplier for the sweep-count choice.  Smaller than the routing
+#: gate's SAFETY because the convergence model is anchored on measured
+#: points (pred 1.6e-7 vs meas 1.2e-7 at cond 2.3e5 / 2 sweeps; pred
+#: 2.5e-12 vs meas 4e-12 at cond 5.7e3 — worst observed under-prediction
+#: 1.6x), and because kernel_accuracy_ok (x4 on the converged floor)
+#: remains the actual accuracy gate.
+PICK_SAFETY = 2.0
+
+
+def pick_refine_steps(xk, nk, xi, order, weighting, *, dimension: int,
+                      knowns: int = 0, tol: float = AUTO_TOL,
+                      sample: int = SAMPLE,
+                      candidates=(2, 3, 4)) -> int:
+    """Cheapest sweep count whose predicted error stays under ``tol``.
+
+    2 sweeps are ~25% faster than the production default of 4 and already
+    sit on the ds floor for well-conditioned batches (TPU-measured on the
+    headline benchmark cloud: 14.3 M fits/s at parity 1.9e-12 with 2
+    sweeps vs 11.5 M at 1.6e-12 with 4, while a cond~2.3e5 sweep case
+    degrades from 1.4e-11 at 4 sweeps to 1.2e-7 at 2).  Returns the last
+    candidate if none meets ``tol`` (the accuracy gate proper is
+    :func:`kernel_accuracy_ok`).
+    """
+    try:
+        cond, amp = _cond_amp(xk, nk, xi, order, weighting,
+                              dimension=dimension, knowns=knowns,
+                              sample=sample)
+    except (ValueError, np.linalg.LinAlgError):
+        return candidates[-1]
+    for n in candidates:
+        if float(predicted_error(cond, amp, n).max()) * PICK_SAFETY <= tol:
+            return n
+    return candidates[-1]

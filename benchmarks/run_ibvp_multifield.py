@@ -1,0 +1,96 @@
+"""IBVP stepping cost vs number of fields: amortizing the neighbor gather.
+
+Round-1 decomposition of the coupled heat step (benchmarks/README.md)
+showed the neighbor-value gather ``u[idx]`` dominating the time step
+(9.7 ms of ~9.3+X ms at 20,480 points, k=28) — XLA's TPU gather is
+indexing-bound, not payload-bound.  The fix is the reference's guest-mode
+pattern (multiple fields sharing one prepared geometry, reference:
+wlsqm/fitter/expert.pyx:110-124) done batch-style: keep the state as
+(n, F), gather ALL fields' neighbor values with ONE row-gather
+``u[idx] -> (B, K, F)``, and solve the F fields through the prepared
+factorization's multi-RHS path in one call.  Indexing cost is paid once
+per step instead of once per field.
+
+Run on TPU:  python benchmarks/run_ibvp_multifield.py
+Prints a step-time table vs F (fields per step).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import wlsqm_tpu as wt
+from wlsqm_tpu.utils import neighbors
+
+
+def main():
+    rng = np.random.default_rng(42)
+    n, k = 20480, 28
+    nu = 0.05
+    dt = 2e-5
+    steps_per_scan = 50
+
+    pts = rng.uniform(0.0, 1.0, (n, 2))
+    xk_idx, _ = neighbors.knn(pts, pts, k + 1, backend="tpu")
+    xk_idx = np.asarray(xk_idx)[:, 1:]
+    xk = jnp.asarray(pts[xk_idx])
+    idx = jnp.asarray(xk_idx)
+
+    prep = wt.prepare(xk, jnp.asarray(pts), order=2,
+                      weighting=wt.WEIGHT_CENTER, precision="ds",
+                      scaling="jacobi", solver="chol_unrolled")
+    lap_idx = jnp.asarray([wt.i2_X2, wt.i2_Y2])
+
+    def timed(fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)   # compile
+        reps = 3
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    print("n=%d k=%d order=2 ds; %d steps per timed scan"
+          % (n, k, steps_per_scan), flush=True)
+    print("F  step_ms  per_field_ms  checksum", flush=True)
+
+    rows = []
+    for F in (1, 2, 4, 8):
+        u0 = jnp.asarray(
+            np.sin(np.pi * pts[:, 0:1] * np.arange(1, F + 1))
+            * np.sin(np.pi * pts[:, 1:2]))           # (n, F)
+
+        @jax.jit
+        def multi_step_scan(u):
+            def step(u, _):
+                fk = u[idx]                           # ONE gather: (B, K, F)
+                fk = jnp.moveaxis(fk, -1, 0)          # (F, B, K)
+                fi, _ = wt.solve(prep, fk)            # multi-RHS solve
+                lap = fi[..., lap_idx].sum(-1)        # (F, B)
+                return u + dt * nu * lap.T, None
+            u, _ = jax.lax.scan(step, u, None, length=steps_per_scan)
+            return u
+
+        t, out = timed(multi_step_scan, u0)
+        step_ms = t / steps_per_scan * 1e3
+        rows.append((F, step_ms))
+        print("%d  %7.2f  %11.2f  %.6f"
+              % (F, step_ms, step_ms / F, float(jnp.sum(out))), flush=True)
+
+    f1 = rows[0][1]
+    fN, msN = rows[-1]
+    print("\nper-field cost: %.2f ms at F=1  ->  %.2f ms at F=%d (%.1fx)"
+          % (f1, msN / fN, fN, f1 / (msN / fN)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -196,6 +196,7 @@ class ExpertSolver:
         self._fi_internal = None  # last solved coefficients, (ncases, NO)
         self._kernel_geo = None   # padded device geometry for kernel solves
         self._kernel_acc_ok = None  # cached conditioning-probe verdict
+        self._kernel_refine_steps = None  # cached probe-picked sweep count
 
     # -- prepare -----------------------------------------------------------
 
@@ -231,6 +232,7 @@ class ExpertSolver:
         self.xk = xk
         self._kernel_geo = None
         self._kernel_acc_ok = None
+        self._kernel_refine_steps = None
         self.tree = None
 
         self.prepared = _prepare_jit(
@@ -339,12 +341,25 @@ class ExpertSolver:
             if kn:
                 fi_p = jnp.asarray(cat(np.ascontiguousarray(
                     fi_np[:, :self.NO])))
+            if self._kernel_refine_steps is None:
+                # geometry-only, so picked once per prepare (same adaptive
+                # sweep count as backend="auto" — see condprobe)
+                from wlsqm_tpu.fitter import condprobe
+
+                xk_b = (np.asarray(self.xk)[..., None]
+                        if self.dimension == 1 else np.asarray(self.xk))
+                xi_b = (np.asarray(self.xi).reshape(self.ncases, 1)
+                        if self.dimension == 1 else np.asarray(self.xi))
+                self._kernel_refine_steps = condprobe.pick_refine_steps(
+                    xk_b, self.nk, xi_b, self.order, self.weighting_method,
+                    dimension=self.dimension, knowns=kn)
             out = pallas_fit.fit_pallas(
                 xk_d, jnp.asarray(cat(fk)), nk_d, xi_d, fi_p,
                 dimension=self.dimension,
                 order=int(np.asarray(self.order).max()),
                 weighting=int(np.asarray(self.weighting_method).max()),
                 do_sens=bool(self.do_sens), knowns=kn,
+                refine_steps=self._kernel_refine_steps,
                 max_iter=(self.max_iter if iterative else 0))
             if not (iterative or self.do_sens):
                 out = (out,)

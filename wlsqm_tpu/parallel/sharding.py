@@ -331,3 +331,75 @@ def sharded_interpolate_nearest(mesh: Mesh, fi, xi, x, *, dimension: int,
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     return jax.jit(fn)(fi, xi, xq)[:Q]
+
+
+def sharded_gather_values(mesh: Mesh, values, idx,
+                          axis_name: str = CASE_AXIS):
+    """Shard-local neighbor-value gather for distributed IBVP stepping.
+
+    ``values`` (n, ...) — per-point field values, sharded over the mesh;
+    ``idx`` (B, K) — GLOBAL neighbor indices, sharded over cases.  Each
+    shard all-gathers the small value array over ICI once per call and
+    gathers its own cases' rows locally, so the indexing cost — which
+    dominates the measured single-chip step (benchmarks/README.md: XLA's
+    TPU gather is indexing-bound at ~60 M indices/s) — runs at B/D indices
+    per chip.  Multi-field states (n, F) ride the same indices (row
+    gather), combining with :func:`sharded_solve_prepared`'s multi-RHS
+    path for the fully amortized step.
+
+    Returns (B, K, ...) neighbor values, sharded like ``idx``.
+    """
+    values = jnp.asarray(values)
+    idx = jnp.asarray(idx)
+
+    def local(v_s, idx_s):
+        v_all = jax.lax.all_gather(v_s, axis_name, axis=0, tiled=True)
+        return v_all[idx_s]
+
+    spec = P(axis_name)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=spec, check_vma=False)
+    return jax.jit(fn)(values, idx)
+
+
+def sharded_solve_prepared(mesh: Mesh, prep, fk, fi_init=None, *,
+                           do_sens: bool = False,
+                           axis_name: str = CASE_AXIS):
+    """solve() over a case-sharded Prepared pytree — zero collectives.
+
+    ``prep`` is an :class:`wlsqm_tpu.fitter.engine.Prepared` whose array
+    leaves are sharded along the case axis (e.g. produced by
+    :func:`distribute` or by preparing shard-locally); ``fk`` is (B, K)
+    for one field or (F, B, K) for F fields sharing the geometry (the
+    reference's guest-solver pattern, reference:
+    wlsqm/fitter/expert.pyx:110-124).  Every case solves on the shard
+    that owns its factorization; the compiled program contains no
+    cross-chip communication.
+
+    Returns (fi, sens) with fi sharded like the case axis.
+    """
+    fk = jnp.asarray(fk)
+    multi = fk.ndim == 3
+    B = fk.shape[1] if multi else fk.shape[0]
+    NO = prep.active.shape[1]
+    if fi_init is None:
+        shape = (fk.shape[0], B, NO) if multi else (B, NO)
+        fi_init = jnp.zeros(shape, fk.dtype)
+    else:
+        fi_init = jnp.asarray(fi_init, fk.dtype)
+
+    def local(prep_s, fk_s, fi_s):
+        if multi:
+            return jax.vmap(
+                lambda fk_f, fi_f: engine.solve_prepared(
+                    prep_s, fk_f, fi_f, do_sens=do_sens))(fk_s, fi_s)
+        return engine.solve_prepared(prep_s, fk_s, fi_s, do_sens=do_sens)
+
+    case = P(axis_name)
+    data = P(None, axis_name) if multi else case
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(case, data, data),
+        out_specs=(data, data), check_vma=False,
+    )
+    fi, sens = jax.jit(fn)(prep, fk, fi_init)
+    return fi, (sens if do_sens else None)

@@ -5,7 +5,10 @@ DOF error against a host NumPy/LAPACK f64 oracle, alongside the sampled
 condition number of the Jacobi-scaled normal matrix (the quantity a cheap
 routing probe can compute).
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 

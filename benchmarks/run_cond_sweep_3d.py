@@ -10,7 +10,10 @@ with the probe's predictions.
 Run:  python benchmarks/run_cond_sweep_3d.py [--skip-o4]
 (the NO=35 Mosaic compile is ~5-8 min, one-time per shape)
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 

@@ -84,6 +84,28 @@ def main():
     dtruth = np.pi * np.cos(np.pi * q[:, 0]) * np.cos(np.pi * q[:, 1])
     print(f"d/dx blend max |err| = {np.abs(dblend - dtruth).max():.2e}")
 
+    # -- 5: distributed IBVP-style stepping --------------------------------
+    # prepare once (factorizations case-sharded in HBM), then each step is
+    # one shard-local neighbor-value gather (a single small all-gather of
+    # the field vector over ICI) + a zero-collective multi-field solve.
+    import wlsqm_tpu as wt
+
+    idx, _ = sharding.sharded_knn(mesh, pts_d, pts_d, k + 1)
+    idx = jnp.asarray(idx)[:, 1:]
+    xk_s = jnp.asarray(pts)[idx]
+    prep = wt.prepare(xk_s, jnp.asarray(pts), order=order, weighting=2)
+    prep_s = jax.device_put(prep, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(sharding.CASE_AXIS)))
+    u = jnp.stack([jnp.asarray(vals), jnp.asarray(vals) ** 2], axis=1)
+    for _step in range(3):
+        fku = sharding.sharded_gather_values(mesh, u, idx)    # (N, k, F)
+        fi_t, _ = sharding.sharded_solve_prepared(
+            mesh, prep_s, jnp.moveaxis(fku, -1, 0))           # (F, N, NO)
+        lap = fi_t[..., jnp.asarray([wt.i2_X2, wt.i2_Y2])].sum(-1)
+        u = u + 1e-4 * lap.T
+    print(f"sharded stepping: u finite = {bool(jnp.isfinite(u).all())}, "
+          f"shape {u.shape}")
+
 
 if __name__ == "__main__":
     main()

@@ -106,7 +106,8 @@ def main():
         refine_steps = condprobe.pick_refine_steps(
             xk_probe, None, np.zeros((512, 2)), 4, defs.WEIGHT_CENTER,
             dimension=2)
-    log("refine_steps=%s (probe-selected)" % (refine_steps,))
+    log("refine_steps=%s (%s)" % (refine_steps,
+        "env override" if rs_env is not None else "probe-selected"))
 
     def fit_chunk_pallas(xk, fk):
         from wlsqm_tpu.ops.pallas_fit import fit_pallas

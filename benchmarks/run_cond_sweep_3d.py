@@ -18,27 +18,11 @@ import numpy as np
 import jax.numpy as jnp
 
 import wlsqm_tpu  # noqa: F401  (enables x64)
-from wlsqm_tpu.fitter import condprobe, defs, tables
+from wlsqm_tpu.fitter import condprobe, defs
 from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas
 
-
-def host_oracle(xk, xi, weighting, order, dim):
-    NO = defs.number_of_dofs(dim, order)
-    exp = tables.EXPONENTS[dim][:NO]
-    invf = tables.INV_FACT[dim][:NO]
-    delta = xk - xi[:, None, :]
-    d2 = (delta ** 2).sum(-1)
-    c = np.ones(delta.shape[:2] + (NO,))
-    for a in range(dim):
-        c = c * delta[..., a:a + 1] ** exp[:, a]
-    c = c * invf
-    if weighting == defs.WEIGHT_CENTER:
-        t = 1 - np.sqrt(d2 / d2.max(-1, keepdims=True))
-        w = 1e-4 + (1 - 1e-4) * t * t
-    else:
-        w = np.ones_like(d2)
-    A = np.einsum("bkj,bk,bkm->bjm", c, w, c)
-    return A, c, w
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from run_cond_sweep import host_oracle  # noqa: E402  (shared oracle)
 
 
 def run(order, K, radius, weighting, rng):

@@ -31,6 +31,13 @@ import pytest
 SEED = 42
 
 
+def pytest_configure(config):
+    # honor WLSQM_TPU_RUN_SLOW=1: undo the default "-m 'not slow'" addopts
+    # so the multi-minute interpret-mode kernel tests run too
+    if os.environ.get("WLSQM_TPU_RUN_SLOW") and config.option.markexpr == "not slow":
+        config.option.markexpr = ""
+
+
 @pytest.fixture
 def rng():
     """Seeded generator, fresh per test, for reproducible failures."""

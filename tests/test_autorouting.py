@@ -197,3 +197,30 @@ def test_pick_refine_steps_scales_with_conditioning(rng):
     n_bad = condprobe.pick_refine_steps(np.zeros((512, 30, 2)), None, xi, 4,
                                         defs.WEIGHT_UNIFORM, dimension=2)
     assert n_bad == 4
+
+
+def test_homogeneous_kernel_path_respects_max_order(rng, monkeypatch):
+    """order < max_order through the kernel: the result must still have
+    NO = dofs(max_order) columns with fi_init preserved on the inactive
+    tail (regression: the kernel path used to return dofs(order) columns,
+    breaking fit_stream output buffers and fi[:, no_g:] indexing)."""
+    spy = _spy(monkeypatch)
+    B = pallas_fit.TILE
+    xk = rng.uniform(-1, 1, (B, 30, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    NO4 = defs.number_of_dofs(2, 4)
+    no2 = defs.number_of_dofs(2, 2)
+    fi_init = np.zeros((B, NO4))
+    fi_init[:, no2 + 1] = 3.25          # an order-4-only slot
+    res = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), order=2,
+                       max_order=4, fi_init=jnp.asarray(fi_init))
+    assert spy.calls == 1
+    fi = np.asarray(res.fi)
+    assert fi.shape == (B, NO4)
+    np.testing.assert_array_equal(fi[:, no2 + 1], 3.25)
+    ref = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), order=2,
+                       max_order=4, fi_init=jnp.asarray(fi_init),
+                       backend="xla")
+    rel = (np.abs(fi[:, :no2] - np.asarray(ref.fi)[:, :no2]).max()
+           / np.abs(np.asarray(ref.fi)[:, :no2]).max())
+    assert rel < 5e-5

@@ -171,19 +171,23 @@ def fit_many(
         # auto additionally demands overdetermination margin AND an
         # f64-grade prediction from the conditioning probe: the ds floor is
         # ~cond(A_jacobi) * inv_s**order * 2e-15 (condprobe docstring), so
-        # ill-conditioned or tiny-radius high-order batches go to f64
+        # ill-conditioned or tiny-radius high-order batches go to f64.
+        # One probe (sampled SVD) serves both the gate and the sweep pick.
         margin_ok = K >= (3 * NO) // 2
+        cond_amp = None
         eligible = (
             pallas_fit.supported(dim, np.asarray(order), np.asarray(knowns),
                                  np.asarray(weighting), K=K, do_sens=do_sens)
             and not debug
-            # on CPU the kernel only runs interpreted (slow); auto avoids it
-            and (backend == "pallas"
-                 or (not on_cpu and margin_ok and not strict_f64
-                     and condprobe.kernel_accuracy_ok(
-                         xk, nk, xi, np.asarray(order), np.asarray(weighting),
-                         dimension=dim, knowns=int(np.max(np.asarray(knowns))))))
         )
+        if eligible and backend != "pallas":
+            # on CPU the kernel only runs interpreted (slow); auto avoids it
+            eligible = not on_cpu and margin_ok and not strict_f64
+            if eligible:
+                cond_amp = condprobe.probe(
+                    xk, nk, xi, np.asarray(order), np.asarray(weighting),
+                    dimension=dim, knowns=int(np.max(np.asarray(knowns))))
+                eligible = condprobe.accuracy_ok_from(cond_amp)
         if eligible:
             pad = (-B) % pallas_fit.TILE
             xk_p = jnp.concatenate([xk, xk[:1].repeat(pad, 0)]) if pad else xk
@@ -194,14 +198,16 @@ def fit_many(
                 # adaptive sweep count: well-conditioned batches reach the
                 # ds floor at 2 sweeps (~20% faster); the probe keeps the
                 # predicted error under the 1e-10 bar either way
-                refine_steps = condprobe.pick_refine_steps(
-                    xk, nk, xi, np.asarray(order), np.asarray(weighting),
-                    dimension=dim, knowns=int(np.max(np.asarray(knowns))))
+                refine_steps = condprobe.pick_from(cond_amp)
             rs = (dict(refine_steps=refine_steps)
                   if refine_steps is not None else {})
+            # the kernel solves dofs(order) DOFs; the caller's fi layout has
+            # NO = dofs(max_order) columns — embed the kernel result and
+            # keep fi_init's values on the inactive trailing DOFs
+            no_g = defs.number_of_dofs(dim, int(np.max(np.asarray(order))))
             fi0_p = None
             if fi_init is not None:
-                fi0_p = jnp.asarray(fi_init)
+                fi0_p = jnp.asarray(fi_init)[:, :no_g]
                 if pad:
                     fi0_p = jnp.concatenate([fi0_p, fi0_p[:1].repeat(pad, 0)])
             out = pallas_fit.fit_pallas(
@@ -220,6 +226,15 @@ def fit_many(
                 iters = out[nxt][:B]
                 nxt += 1
             sens = out[nxt][:B] if do_sens else None
+            if no_g < NO:
+                tail = (jnp.zeros((B, NO - no_g), fi.dtype)
+                        if fi_init is None
+                        else jnp.asarray(fi_init, fi.dtype)[:, no_g:NO])
+                fi = jnp.concatenate([fi, tail], axis=1)
+                if sens is not None:
+                    sens = jnp.concatenate(
+                        [sens, jnp.zeros(sens.shape[:2] + (NO - no_g,),
+                                         sens.dtype)], axis=2)
             nanv = jnp.full((B,), jnp.nan, fi.dtype)
             return FitResult(fi=fi, sens=sens, iterations=iters,
                              cond_scaled=nanv)

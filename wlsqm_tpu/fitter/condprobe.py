@@ -72,21 +72,23 @@ def _cond_amp(xk, nk, xi, order, weighting, *, dimension: int,
     """Per-sampled-case (cond2(A_jacobi), inv_s**order) arrays.
 
     xk (B, K, dim) | nk (B,) or None | xi (B, dim) | order scalar or (B,)
-    | weighting scalar or (B,).  Host NumPy only; device arrays are pulled
-    through ``np.asarray`` (the sample is gathered first when possible).
+    | weighting scalar or (B,).  The case sample is gathered BEFORE any
+    host conversion, so device-resident geometry costs one small
+    (sample, K, dim) transfer, never a full-batch copy.
     """
-    xk = np.asarray(xk, dtype=np.float64)
     B, K, dim = xk.shape
     idx = _sample_idx(B, sample)
 
-    xk_s = np.asarray(xk[idx])
-    xi_s = np.asarray(np.asarray(xi, dtype=np.float64)[idx])
+    # fancy-index first (runs on device for jax arrays), convert after
+    xk_s = np.asarray(xk[idx], dtype=np.float64)
+    xi_s = np.asarray(xi[idx] if hasattr(xi, "__getitem__")
+                      else np.asarray(xi)[idx], dtype=np.float64)
     order_a = np.broadcast_to(np.asarray(order, np.int32), (B,))[idx]
     weighting_a = np.broadcast_to(np.asarray(weighting, np.int32), (B,))[idx]
     if nk is None:
         nk_s = np.full(len(idx), K, np.int32)
     else:
-        nk_s = np.asarray(np.asarray(nk, np.int32)[idx])
+        nk_s = np.asarray(nk[idx], dtype=np.int32)
 
     omax = int(order_a.max())
     NO = defs.number_of_dofs(dimension, omax)
@@ -136,6 +138,30 @@ def _cond_amp(xk, nk, xi, order, weighting, *, dimension: int,
 
     amp = np.maximum(inv_s, 1.0) ** order_a.astype(np.float64)
     return cond, amp
+
+
+def probe(xk, nk, xi, order, weighting, *, dimension: int,
+          knowns: int = 0, sample: int = SAMPLE):
+    """Run the geometry probe once; returns (cond, amp) sample arrays.
+
+    Feed the result to :func:`accuracy_ok_from` / :func:`pick_from` so one
+    sampled-SVD pass serves both the routing gate and the sweep-count
+    choice.  Returns None on degenerate geometry (singular samples) —
+    treat as "route to f64".
+    """
+    try:
+        return _cond_amp(xk, nk, xi, order, weighting, dimension=dimension,
+                         knowns=knowns, sample=sample)
+    except (ValueError, np.linalg.LinAlgError):
+        return None
+
+
+def accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
+    """Routing gate on a precomputed :func:`probe` result."""
+    if cond_amp is None:
+        return False
+    cond, amp = cond_amp
+    return float(DS_UNIT * (cond * amp).max()) * SAFETY <= tol
 
 
 def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
@@ -195,12 +221,17 @@ def pick_refine_steps(xk, nk, xi, order, weighting, *, dimension: int,
     candidate if none meets ``tol`` (the accuracy gate proper is
     :func:`kernel_accuracy_ok`).
     """
-    try:
-        cond, amp = _cond_amp(xk, nk, xi, order, weighting,
-                              dimension=dimension, knowns=knowns,
-                              sample=sample)
-    except (ValueError, np.linalg.LinAlgError):
+    return pick_from(
+        probe(xk, nk, xi, order, weighting, dimension=dimension,
+              knowns=knowns, sample=sample),
+        tol=tol, candidates=candidates)
+
+
+def pick_from(cond_amp, tol: float = AUTO_TOL, candidates=(2, 3, 4)) -> int:
+    """Sweep-count choice on a precomputed :func:`probe` result."""
+    if cond_amp is None:
         return candidates[-1]
+    cond, amp = cond_amp
     for n in candidates:
         if float(predicted_error(cond, amp, n).max()) * PICK_SAFETY <= tol:
             return n

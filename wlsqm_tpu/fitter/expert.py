@@ -342,17 +342,7 @@ class ExpertSolver:
                 fi_p = jnp.asarray(cat(np.ascontiguousarray(
                     fi_np[:, :self.NO])))
             if self._kernel_refine_steps is None:
-                # geometry-only, so picked once per prepare (same adaptive
-                # sweep count as backend="auto" — see condprobe)
-                from wlsqm_tpu.fitter import condprobe
-
-                xk_b = (np.asarray(self.xk)[..., None]
-                        if self.dimension == 1 else np.asarray(self.xk))
-                xi_b = (np.asarray(self.xi).reshape(self.ncases, 1)
-                        if self.dimension == 1 else np.asarray(self.xi))
-                self._kernel_refine_steps = condprobe.pick_refine_steps(
-                    xk_b, self.nk, xi_b, self.order, self.weighting_method,
-                    dimension=self.dimension, knowns=kn)
+                self._run_kernel_probe()  # geometry-only, once per prepare
             out = pallas_fit.fit_pallas(
                 xk_d, jnp.asarray(cat(fk)), nk_d, xi_d, fi_p,
                 dimension=self.dimension,
@@ -430,17 +420,24 @@ class ExpertSolver:
         # conditioning probe (geometry-only, so cache it per prepare):
         # predicted ds floor above the 1e-10 parity bar -> prepared f64 path
         if self._kernel_acc_ok is None:
-            from wlsqm_tpu.fitter import condprobe
-
-            xk_b = (self.xk if self.dimension >= 2
-                    else np.asarray(self.xk).reshape(self.ncases, -1, 1))
-            xi_b = (self.xi if self.dimension >= 2
-                    else np.asarray(self.xi).reshape(self.ncases, 1))
-            self._kernel_acc_ok = condprobe.kernel_accuracy_ok(
-                xk_b, self.nk, xi_b, self.order, self.weighting_method,
-                dimension=self.dimension,
-                knowns=int(np.asarray(self.knowns).max()))
+            self._run_kernel_probe()
         return self._kernel_acc_ok
+
+    def _run_kernel_probe(self):
+        """One sampled-SVD geometry probe feeding both the routing verdict
+        and the sweep-count choice (see wlsqm_tpu.fitter.condprobe)."""
+        from wlsqm_tpu.fitter import condprobe
+
+        xk_b = (np.asarray(self.xk) if self.dimension >= 2
+                else np.asarray(self.xk).reshape(self.ncases, -1, 1))
+        xi_b = (np.asarray(self.xi) if self.dimension >= 2
+                else np.asarray(self.xi).reshape(self.ncases, 1))
+        cond_amp = condprobe.probe(
+            xk_b, self.nk, xi_b, self.order, self.weighting_method,
+            dimension=self.dimension,
+            knowns=int(np.asarray(self.knowns).max()))
+        self._kernel_acc_ok = condprobe.accuracy_ok_from(cond_amp)
+        self._kernel_refine_steps = condprobe.pick_from(cond_amp)
 
     # -- global interpolation ---------------------------------------------
 

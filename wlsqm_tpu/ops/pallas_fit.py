@@ -332,9 +332,12 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         #      out of the loop: with x = 0 the loop's matvec pass would
         #      compute A @ 0 — a full K×NO ds sweep of exact zeros — so
         #      hoisting saves one matvec (bit-identical result, ~15% of the
-        #      kernel's flops at refine_steps=4)
+        #      kernel's flops at refine_steps=4).  The RHS uses the same
+        #      ds product as the in-loop sweeps (mul_f32 folds the low
+        #      word into the rounding) to keep the bit-identity exact.
         bs = [(bhi_ref[j], blo_ref[j]) for j in range(NO)]
-        x0 = chol_solve([zero if j in kn_slot else bs[j][0] * s[j]
+        x0 = chol_solve([zero if j in kn_slot
+                         else tf.mul_f32(bs[j], s[j])[0]
                          for j in range(NO)])
 
         # refinement: r = D b - (D A D) x via the stored ds c ----

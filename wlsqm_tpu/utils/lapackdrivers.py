@@ -14,16 +14,18 @@ in-place semantics:
 
 Implementation notes.  Single-system calls go through SciPy's LAPACK (same
 routines the reference binds: dgesv/dgetrf/dgetrs/dsysv/dgtsv/dgesvd/dgeequ).
-The batched ``m*`` families each dispatch the whole (n, n, nbatch) stack as
-ONE vectorized batched-LAPACK call (NumPy/SciPy gufuncs: a single C loop
-over the stack with zero per-matrix Python overhead) — the host-side
-counterpart of the reference's OpenMP ``prange`` over per-matrix LAPACK
-calls (reference: wlsqm/utils/lapackdrivers.pyx:1088-1354,1551-1723).  The
-``*p`` variants are aliases of their serial counterparts, since batching
-already owns the machine.  These compat stacks are host-resident f64 NumPy
-arrays, so the host gufunc path beats a device round-trip (TPU f64 is
-software-emulated; the fitting engine's TPU-native batched linear algebra
-lives in :mod:`wlsqm_tpu.ops`, not here).
+The batched ``m*`` families process the whole (n, n, nbatch) stack
+vectorized — solves via the ``np.linalg.solve`` gufunc (one C loop over the
+stack), factor/factored via a NumPy-vectorized right-looking LU whose
+Python-level work is O(n) steps over the entire batch rather than
+O(nbatch) per-matrix calls — the host-side counterpart of the reference's
+OpenMP ``prange`` over per-matrix LAPACK calls (reference:
+wlsqm/utils/lapackdrivers.pyx:1088-1354,1551-1723).  The ``*p`` variants
+are aliases of their serial counterparts, since batching already owns the
+machine.  These compat stacks are host-resident f64 NumPy arrays, so the
+host path beats a device round-trip (TPU f64 is software-emulated; the
+fitting engine's TPU-native batched linear algebra lives in
+:mod:`wlsqm_tpu.ops`, not here).
 
 Factored-pair representation: ``mgeneralfactor``/``mgeneralfactored`` use
 batched LU with pivots byte-compatible with LAPACK ``dgetrf``/``dgetrs`` —
@@ -391,6 +393,53 @@ def symmetricsp(A, b, ntasks):
     return symmetrics(A, b)
 
 
+def _batched_lu_factor(A):
+    """Vectorized batched LU with partial pivoting, dgetrf layout.
+
+    A (nbatch, n, n) -> (lu, piv): unit-lower + upper factors packed like
+    LAPACK ``dgetrf``, ``piv`` 0-based row-swap indices compatible with
+    SciPy's ``lu_solve``/raw ``dgetrs`` wrappers.  Runs O(n) vectorized
+    NumPy steps over the whole stack (the per-matrix work is C-level), in
+    contrast to per-slice Python loops over LAPACK calls.
+    """
+    A = np.ascontiguousarray(A, dtype=np.float64).copy()
+    nb, n, _ = A.shape
+    piv = np.empty((nb, n), np.int32)
+    bidx = np.arange(nb)
+    for k in range(n):
+        p = k + np.abs(A[:, k:, k]).argmax(axis=1)
+        piv[:, k] = p
+        rk = A[bidx, k, :].copy()
+        A[bidx, k, :] = A[bidx, p, :]
+        A[bidx, p, :] = rk
+        pivval = A[:, k, k]
+        safe = np.where(pivval != 0.0, pivval, 1.0)
+        inv = np.where(pivval != 0.0, 1.0 / safe, 0.0)
+        A[:, k + 1:, k] *= inv[:, None]
+        A[:, k + 1:, k + 1:] -= A[:, k + 1:, k:k + 1] * A[:, k:k + 1, k + 1:]
+    return A, piv
+
+
+def _batched_lu_solve(lu, piv, b):
+    """Back-substitute a :func:`_batched_lu_factor` stack; b (nbatch, n, m)."""
+    lu = np.ascontiguousarray(lu, dtype=np.float64)
+    piv = np.asarray(piv)
+    x = np.ascontiguousarray(b, dtype=np.float64).copy()
+    nb, n, _ = lu.shape
+    bidx = np.arange(nb)
+    for k in range(n):                      # apply the recorded row swaps
+        p = piv[:, k]
+        tmp = x[bidx, k, :].copy()
+        x[bidx, k, :] = x[bidx, p, :]
+        x[bidx, p, :] = tmp
+    for k in range(n):                      # forward solve (unit lower)
+        x[:, k + 1:, :] -= lu[:, k + 1:, k:k + 1] * x[:, k:k + 1, :]
+    for k in range(n - 1, -1, -1):          # backward solve (upper)
+        x[:, k, :] /= lu[:, k, k:k + 1]
+        x[:, :k, :] -= lu[:, :k, k:k + 1] * x[:, k:k + 1, :]
+    return x
+
+
 def _sym_from_upper_stack(A):
     """(n, n, nbatch) -> (nbatch, n, n) symmetrized from the upper triangle.
 
@@ -425,7 +474,7 @@ def msymmetricp(A, b, ntasks):
 def msymmetricfactor(A, ipiv):
     """Batched factor of a symmetric stack; fills A and ipiv (n, nbatch).
 
-    One vectorized batched-LAPACK LU over the symmetrized stack (there is
+    One NumPy-vectorized batched LU over the symmetrized stack (there is
     no batched Bunch–Kaufman).  The resulting (A, ipiv) pair is OPAQUE:
     pass it to ``msymmetricfactored(p)`` only — unlike the reference it is
     not interchangeable with the single-matrix dsytrf/dsytrs pair (it is
@@ -434,7 +483,7 @@ def msymmetricfactor(A, ipiv):
     """
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
-    lu, piv = scipy.linalg.lu_factor(_sym_from_upper_stack(A_np))
+    lu, piv = _batched_lu_factor(_sym_from_upper_stack(A_np))
     A_np[:] = np.moveaxis(lu, 0, 2)
     ipiv_np[:] = np.asarray(piv, dtype=ipiv_np.dtype).T
 
@@ -442,15 +491,14 @@ def msymmetricfactor(A, ipiv):
 def msymmetricfactored(A, ipiv, b):
     """Batched back-substitution with an msymmetricfactor()-factored stack.
 
-    b (n, nbatch) overwritten; one vectorized batched-LAPACK solve.
+    b (n, nbatch) overwritten; one vectorized batched triangular solve.
     """
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
     b_np = np.asarray(b)
-    lu = np.ascontiguousarray(np.moveaxis(A_np, 2, 0))
+    lu = np.moveaxis(A_np, 2, 0)
     piv = np.ascontiguousarray(ipiv_np.T)
-    x = scipy.linalg.lu_solve((lu, piv),
-                              np.ascontiguousarray(b_np.T)[..., None])
+    x = _batched_lu_solve(lu, piv, np.ascontiguousarray(b_np.T)[..., None])
     b_np[:] = x[..., 0].T
 
 
@@ -545,8 +593,7 @@ def mgeneralfactor(A, ipiv):
     """
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
-    lu, piv = scipy.linalg.lu_factor(
-        np.ascontiguousarray(np.moveaxis(A_np, 2, 0)))
+    lu, piv = _batched_lu_factor(np.moveaxis(A_np, 2, 0))
     A_np[:] = np.moveaxis(lu, 0, 2)
     ipiv_np[:] = np.asarray(piv, dtype=ipiv_np.dtype).T
 
@@ -556,10 +603,9 @@ def mgeneralfactored(A, ipiv, b):
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
     b_np = np.asarray(b)
-    lu = np.ascontiguousarray(np.moveaxis(A_np, 2, 0))
+    lu = np.moveaxis(A_np, 2, 0)
     piv = np.ascontiguousarray(ipiv_np.T)
-    x = scipy.linalg.lu_solve((lu, piv),
-                              np.ascontiguousarray(b_np.T)[..., None])
+    x = _batched_lu_solve(lu, piv, np.ascontiguousarray(b_np.T)[..., None])
     b_np[:] = x[..., 0].T
 
 

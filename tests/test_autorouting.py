@@ -14,9 +14,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-import wlsqm_tpu as wt
 from wlsqm_tpu import api
-from wlsqm_tpu.fitter import condprobe, defs, engine
+from wlsqm_tpu.fitter import condprobe, defs
 from wlsqm_tpu.ops import pallas_fit
 
 

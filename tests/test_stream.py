@@ -9,7 +9,6 @@ sliced along with the geometry, and the in-flight overlap writeback order.
 import numpy as np
 import pytest
 
-import wlsqm_tpu as wt
 from wlsqm_tpu import api
 from wlsqm_tpu.fitter import defs
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from wlsqm_tpu.fitter import defs, engine
+from wlsqm_tpu.fitter import engine
 from wlsqm_tpu.ops import solve as solve_ops
 
 CASE_AXIS = "cases"

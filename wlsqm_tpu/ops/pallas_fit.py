@@ -177,6 +177,15 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
     def kernel(dhi_ref, dlo_ref, fkhi_ref, fklo_ref, kmask_ref, invs_ref,
                *rest):
+        maxd2 = None
+        if weighting == defs.WEIGHT_CENTER:
+            # the max squared radius arrives precomputed in exact f64 from
+            # the host-side XLA preprocessing (it is a byproduct of the
+            # radius-prescale computation there), saving a full K-loop ds
+            # reduction pass in the kernel and matching the f64 engine's
+            # weight normalization to the ds representation floor
+            mdhi_ref, mdlo_ref, *rest = rest
+            maxd2 = (mdhi_ref[...], mdlo_ref[...])
         gihi_ref = gilo_ref = None
         if KN:
             gihi_ref, gilo_ref, *rest = rest
@@ -192,26 +201,7 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         inv_s = invs_ref[...]   # exact power of two, computed host-side so
                                 # the f64 de-scaling outside matches exactly
 
-        # ---- pass 1: max squared radius (ds, for the weight normalization) ----
-        def d2_body(k, carry):
-            maxd2_hi, maxd2_lo = carry
-            acc = (zero, zero)
-            for a in range(dimension):
-                d = (dhi_ref[k, a], dlo_ref[k, a])
-                acc = tf.add(acc, tf.mul(d, d))
-            m = kmask_ref[k]
-            # running max of (hi, lo) pairs ordered by hi then lo
-            take = jnp.logical_and(
-                m > 0,
-                jnp.logical_or(acc[0] > maxd2_hi,
-                               jnp.logical_and(acc[0] == maxd2_hi,
-                                               acc[1] > maxd2_lo)))
-            return (jnp.where(take, acc[0], maxd2_hi),
-                    jnp.where(take, acc[1], maxd2_lo))
-
-        maxd2 = lax.fori_loop(jnp.int32(0), jnp.int32(K), d2_body, (zero, zero))
-
-        # ---- pass 2: assemble A (f32), b (ds) over neighbors ----
+        # ---- assemble A (f32), b (ds) over neighbors ----
         A_ref[...] = jnp.zeros_like(A_ref)
         bhi_ref[...] = jnp.zeros_like(bhi_ref)
         blo_ref[...] = jnp.zeros_like(blo_ref)
@@ -580,6 +570,11 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
 
     args = [to_tiles(dhi), to_tiles(dlo), to_tiles(fkhi), to_tiles(fklo),
             to_tiles(kmask.astype(jnp.float32)), to_tiles1(inv_s)]
+    if weighting == defs.WEIGHT_CENTER:
+        # exact-f64 max squared radius for the weight normalization,
+        # already computed for the radius prescale above
+        mdhi, mdlo = tf.from_f64(h2)
+        args += [to_tiles1(mdhi), to_tiles1(mdlo)]
     if KN:
         # prescribed known DOF values, moved to the radius-scaled space with
         # the exact power-of-two factor (fi = x_hat * 2^(-e*deg))

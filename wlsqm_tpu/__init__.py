@@ -26,7 +26,11 @@ Two API layers:
 float64 mode is enabled at import (see :mod:`wlsqm_tpu.config`).
 """
 
-from wlsqm_tpu import config as _config  # noqa: F401  (enables x64 first)
+from wlsqm_tpu import config  # noqa: F401  (enables x64 first)
+from wlsqm_tpu.config import (  # noqa: F401
+    set_compat_precision,
+    compat_precision,
+)
 
 from wlsqm_tpu.fitter.defs import *  # noqa: F401,F403  constants + number_of_dofs
 from wlsqm_tpu.fitter.simple import *  # noqa: F401,F403  fit_* family
@@ -47,4 +51,4 @@ from wlsqm_tpu.api import (  # noqa: F401
 )
 from wlsqm_tpu.fitter.engine import Prepared  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

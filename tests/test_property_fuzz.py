@@ -32,12 +32,10 @@ def fit_configs(draw):
     ragged = draw(st.booleans())
     weighting = draw(st.sampled_from([defs.WEIGHT_UNIFORM,
                                       defs.WEIGHT_CENTER]))
-    # a random (possibly empty) knowns bitmask over the active DOFs,
-    # leaving at least one unknown
+    # a random (possibly empty) knowns bitmask over the active DOFs;
+    # max_size=no-1 leaves at least one unknown by construction
     kn_bits = draw(st.lists(st.integers(0, no - 1), max_size=max(no - 1, 0),
                             unique=True))
-    if len(kn_bits) >= no:
-        kn_bits = kn_bits[: no - 1]
     knowns = 0
     for b in kn_bits:
         knowns |= 1 << b
@@ -70,11 +68,19 @@ def test_fit_many_matches_oracle(cfg):
     got = np.asarray(res.fi)
     assert np.isfinite(got).all()
 
+    # two correct f64 algorithms disagree by ~u64 * cond * amp on randomly
+    # conditioned geometry (docs/theory.md section 7), so the bar scales
+    # with the probed conditioning of each case instead of being fixed
+    from wlsqm_tpu.fitter import condprobe
+
+    cond, amp = condprobe._cond_amp(
+        xk, nk, xi, order, weighting, dimension=dimension,
+        knowns=knowns, sample=B)
     for b in range(B):
         want = _oracle_case(xk[b], fk[b], xi[b], int(nk[b]), order, knowns,
                             weighting, dimension, fi_init[b])
-        # conditioning varies with the random geometry; scale the bar by a
-        # crude conditioning estimate of the oracle's own normal matrix
+        tol = max(1e-14 * float(cond[b] * amp[b]), 1e-10)
         np.testing.assert_allclose(
-            got[b, :no], want, rtol=5e-8, atol=1e-10,
-            err_msg=f"case {b} of cfg={cfg}")
+            got[b, :no], want, rtol=tol, atol=tol,
+            err_msg=f"case {b} of cfg={cfg} (cond*amp="
+                    f"{float(cond[b] * amp[b]):.2e})")

@@ -124,10 +124,13 @@ def sharded_fit_pallas(
     fk,
     nk,
     xi,
+    fi_init=None,
     *,
     dimension: int,
     order: int,
     weighting: int,
+    knowns: int = 0,
+    refine_steps: int | None = None,
     axis_name: str = CASE_AXIS,
     interpret: bool = False,
 ):
@@ -136,23 +139,30 @@ def sharded_fit_pallas(
     Each shard runs the VMEM-resident kernel on its local cases — the same
     zero-collective data parallelism as :func:`sharded_fit_many`, at the
     fused kernel's throughput.  Per-shard case counts must be multiples of
-    the kernel TILE (1024).  Verified bit-identical to single-device
-    execution (tests/test_sharding.py).
+    the kernel TILE (1024).  ``knowns``/``fi_init``/``refine_steps`` pass
+    through to :func:`wlsqm_tpu.ops.pallas_fit.fit_pallas`.  Verified
+    bit-identical to single-device execution (tests/test_sharding.py).
     """
     from wlsqm_tpu.ops.pallas_fit import fit_pallas
 
-    def local(xk, fk, nk, xi):
-        return fit_pallas(xk, fk, nk, xi, dimension=dimension, order=order,
-                          weighting=weighting, interpret=interpret)
+    rs = {} if refine_steps is None else dict(refine_steps=refine_steps)
+
+    def local(xk, fk, nk, xi, *fi0):
+        return fit_pallas(xk, fk, nk, xi, fi0[0] if fi0 else None,
+                          dimension=dimension, order=order,
+                          weighting=weighting, knowns=knowns,
+                          interpret=interpret, **rs)
 
     spec = P(axis_name)
+    args = [jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(nk),
+            jnp.asarray(xi)]
+    if fi_init is not None:
+        args.append(jnp.asarray(fi_init))
     fn = jax.shard_map(
-        local, mesh=mesh, in_specs=(spec,) * 4, out_specs=spec,
+        local, mesh=mesh, in_specs=(spec,) * len(args), out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(fn)(
-        jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(nk), jnp.asarray(xi)
-    )
+    return jax.jit(fn)(*args)
 
 
 def replicated_coefficients(mesh: Mesh, fi, axis_name: str = CASE_AXIS):

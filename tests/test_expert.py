@@ -310,3 +310,31 @@ def test_set_compat_precision_validates():
 
     with pytest.raises(ValueError):
         config.set_compat_precision("bogus")
+
+
+def test_iterative_with_sens_matches_basic_sens(rng):
+    """ALGO_ITERATIVE + do_sens: the sensitivity matrix is a property of
+    the linear solve and must equal ALGO_BASIC's (the reference computes
+    sens in the initial solve; refinement only updates fi,
+    reference: wlsqm/fitter/impl.pyx:986-1083)."""
+    f, expected = quadratic_2d()
+    ncases, npts = 6, 26
+    xk = rng.uniform(-1, 1, (ncases, npts, 2))
+    fk = f(xk)
+
+    out = {}
+    for algo in (wt.ALGO_BASIC, wt.ALGO_ITERATIVE):
+        es = _solver_2d(ncases, npts, algorithm=algo, do_sens=True)
+        es.prepare(xi=np.zeros((ncases, 2)), xk=xk)
+        fi = np.zeros((ncases, 6))
+        sens = np.zeros((ncases, npts, 6))
+        iters = es.solve(fk=fk, fi=fi, sens=sens)
+        out[algo] = (fi.copy(), sens.copy(), iters)
+
+    fi_b, sens_b, _ = out[wt.ALGO_BASIC]
+    fi_i, sens_i, _ = out[wt.ALGO_ITERATIVE]
+    np.testing.assert_array_equal(sens_i, sens_b)
+    # exact polynomial: refinement is a no-op beyond roundoff
+    np.testing.assert_allclose(fi_i, fi_b, atol=1e-12)
+    np.testing.assert_allclose(fi_i, np.tile(expected, (ncases, 1)),
+                               atol=1e-9)

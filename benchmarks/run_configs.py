@@ -212,8 +212,14 @@ def main():
     rels = [config1(rng), config2(rng, args.points), config3(rng),
             config4(rng), config5(rng)]
     worst = max(rels)
-    log(f"\nWorst parity across configs: {worst:.2e} "
-        f"({'PASS' if worst < 1e-10 else 'CHECK'} vs 1e-10 bar)")
+    log(f"\nWorst parity across configs: {worst:.2e}")
+    if worst >= 1e-10:
+        log("    note: the oracle here solves the UNSCALED normal equations,"
+            "\n    so on order-4 mixtures the comparison itself is"
+            "\n    conditioning-limited — a strict-f64 engine run measures"
+            "\n    ~5e-10 against this oracle at the config-2 geometry"
+            "\n    (docs/theory.md section 7); the 1e-10 engine-parity bar is"
+            "\n    asserted against the f64 engine in the test suite instead.")
     return 0 if worst < 1e-10 else 1
 
 

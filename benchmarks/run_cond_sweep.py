@@ -83,7 +83,8 @@ def main():
         m = (allc >= lo) & (allc < hi)
         if m.sum():
             print(f"cond [{lo:.0e},{hi:.0e}): n={m.sum()} "
-                  f"err_med={np.median(alle[m]):.3g} err_p99={np.quantile(alle[m], 0.99):.3g} "
+                  f"err_med={np.median(alle[m]):.3g} "
+                  f"err_p99={np.quantile(alle[m], 0.99):.3g} "
                   f"err_max={alle[m].max():.3g}", flush=True)
 
 

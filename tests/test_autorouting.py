@@ -223,3 +223,37 @@ def test_homogeneous_kernel_path_respects_max_order(rng, monkeypatch):
     rel = (np.abs(fi[:, :no2] - np.asarray(ref.fi)[:, :no2]).max()
            / np.abs(np.asarray(ref.fi)[:, :no2]).max())
     assert rel < 5e-5
+
+
+def test_compat_batch_strict_knob_blocks_kernel(rng, monkeypatch):
+    """The compat fit_*_many path honors the documented routing knob:
+    set_compat_precision('f64') keeps the batch on the engine even when
+    the kernel would be eligible on an accelerator."""
+    import wlsqm_tpu as wt
+    from wlsqm_tpu import config
+
+    spy = _spy(monkeypatch)
+    B, K = pallas_fit.TILE, 30
+    xk = rng.uniform(-1, 1, (B, K, 2))
+    fk = np.sin(xk[..., 0])
+
+    def run():
+        fi = np.zeros((B, 6))
+        wt.fit_2D_many(xk=xk, fk=fk, nk=np.full(B, K, np.int32),
+                       xi=np.zeros((B, 2)), fi=fi, sens=None, do_sens=False,
+                       order=np.full(B, 2, np.int32),
+                       knowns=np.zeros(B, np.int64),
+                       weighting_method=np.full(B, wt.WEIGHT_UNIFORM,
+                                                np.int32))
+        return fi
+
+    old = config.compat_precision()
+    try:
+        config.set_compat_precision("ds")
+        run()
+        assert spy.calls == 1          # eligible batch hits the kernel
+        config.set_compat_precision("f64")
+        run()
+        assert spy.calls == 1          # strict mode: no new kernel call
+    finally:
+        config.set_compat_precision(old)

@@ -162,8 +162,9 @@ def test_3d_order4_no35_interpret(rng, monkeypatch):
     pipeline in ~6 minutes on CPU (measured; per-op interpreter overhead
     x ~NO^2*K ops), so the default suite skips it — run with
     ``pytest -m slow`` (verified passing, 347 s).  The NO=35 kernel is
-    also hardware-validated on real TPU (benchmarks/README.md: 2.38 M
-    fits/s, 6.25e-11 vs a host f64 oracle at K=48 radius 1.0), and the XLA engine's NO=35 math is CI-covered
+    also hardware-validated on real TPU (benchmarks/README.md:
+    2.38 M fits/s, 6.25e-11 vs a host f64 oracle at K=48 radius 1.0), and
+    the XLA engine's NO=35 math is CI-covered
     by tests/test_fuzz_oracle.py.
     """
     from wlsqm_tpu.ops import pallas_fit

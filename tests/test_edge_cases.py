@@ -76,3 +76,23 @@ def test_number_of_dofs_table():
     assert [wt.number_of_dofs(1, k) for k in range(5)] == [1, 2, 3, 4, 5]
     assert [wt.number_of_dofs(2, k) for k in range(5)] == [1, 3, 6, 10, 15]
     assert [wt.number_of_dofs(3, k) for k in range(5)] == [1, 4, 10, 20, 35]
+
+
+def test_fit_many_validates_inputs(rng):
+    """Shape/enum mistakes raise clean ValueErrors, not broadcast noise."""
+    import pytest
+
+    from wlsqm_tpu import api
+
+    xk = rng.uniform(-1, 1, (8, 20, 2))
+    fk = np.sin(xk[..., 0])
+    with pytest.raises(ValueError, match="fk must have shape"):
+        api.fit_many(xk, fk[:, :19], order=2)
+    with pytest.raises(ValueError, match="nk must have shape"):
+        api.fit_many(xk, fk, order=2, nk=np.full(7, 20))
+    with pytest.raises(ValueError, match="fi_init must have shape"):
+        api.fit_many(xk, fk, order=2, fi_init=np.zeros((8, 3)))
+    with pytest.raises(ValueError, match="backend must be"):
+        api.fit_many(xk, fk, order=2, backend="gpu")
+    with pytest.raises(ValueError, match="precision must be"):
+        api.fit_many(xk, fk, order=2, precision="f128")

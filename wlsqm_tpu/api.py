@@ -145,10 +145,26 @@ def fit_many(
     ``shard_map`` over the case axis for multi-chip execution (see
     :func:`wlsqm_tpu.parallel.sharded_fit_many`).
     """
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(
+            "backend must be 'auto', 'pallas' or 'xla'; got %r" % (backend,))
+    if precision not in (None, engine.PRECISION_F64, engine.PRECISION_MIXED,
+                         engine.PRECISION_FAST, engine.PRECISION_DS):
+        raise ValueError(
+            "precision must be None, 'f64', 'mixed', 'fast' or 'ds'; "
+            "got %r" % (precision,))
+
     xk, xi, B, K, dim = _canon_geometry(xk, xi)
     fk = jnp.asarray(fk, xk.dtype)
+    if fk.shape != (B, K):
+        raise ValueError(
+            "fk must have shape (B, K) = (%d, %d) matching xk; got %s"
+            % (B, K, fk.shape))
     nk = (jnp.full((B,), K, jnp.int32) if nk is None
           else jnp.asarray(nk, jnp.int32))
+    if nk.shape != (B,):
+        raise ValueError(
+            "nk must have shape (B,) = (%d,); got %s" % (B, nk.shape))
     order_a = _broadcast_case_param(order, B, jnp.int32)
     knowns_a = _broadcast_case_param(knowns, B, jnp.int64)
     weighting_a = _broadcast_case_param(weighting, B, jnp.int32)
@@ -156,6 +172,12 @@ def fit_many(
     if max_order is None:
         max_order = int(np.max(np.asarray(order)))
     NO = defs.number_of_dofs(dim, max_order)
+    if fi_init is not None:
+        fi_init = jnp.asarray(fi_init)
+        if fi_init.ndim != 2 or fi_init.shape[0] != B or fi_init.shape[1] < NO:
+            raise ValueError(
+                "fi_init must have shape (B, >=NO) = (%d, >=%d); got %s"
+                % (B, NO, fi_init.shape))
 
     # an explicit precision="f64" is an accuracy contract: auto routing must
     # not substitute the ds-grade kernel (explicit backend="pallas" wins)

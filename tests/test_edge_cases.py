@@ -96,3 +96,20 @@ def test_fit_many_validates_inputs(rng):
         api.fit_many(xk, fk, order=2, backend="gpu")
     with pytest.raises(ValueError, match="precision must be"):
         api.fit_many(xk, fk, order=2, precision="f128")
+
+
+def test_prepare_solve_validate_inputs(rng):
+    import pytest
+
+    import wlsqm_tpu as wt
+
+    xk = rng.uniform(-1, 1, (8, 20, 2))
+    prep = wt.prepare(xk, np.zeros((8, 2)), order=2)
+    with pytest.raises(ValueError, match="fk must have shape"):
+        wt.solve(prep, np.zeros((8, 19)))
+    with pytest.raises(ValueError, match="fk must have shape"):
+        wt.solve(prep, np.zeros((7, 20)))
+    with pytest.raises(ValueError, match="xi must have shape"):
+        wt.prepare(xk, np.zeros((7, 2)), order=2)
+    with pytest.raises(ValueError, match="nk must have shape"):
+        wt.prepare(xk, np.zeros((8, 2)), order=2, nk=np.full(3, 20))

@@ -488,8 +488,15 @@ def prepare(
     reference: wlsqm/fitter/expert.pyx:110-124, is simply object reuse here).
     """
     xk, xi, B, K, dim = _canon_geometry(xk, xi)
+    if xi.shape[0] != B:
+        raise ValueError(
+            "xi must have shape (B, dim) = (%d, %d) matching xk; got %s"
+            % (B, dim, xi.shape))
     nk = (jnp.full((B,), K, jnp.int32) if nk is None
           else jnp.asarray(nk, jnp.int32))
+    if nk.shape != (B,):
+        raise ValueError(
+            "nk must have shape (B,) = (%d,); got %s" % (B, nk.shape))
     order_a = _broadcast_case_param(order, B, jnp.int32)
     knowns_a = _broadcast_case_param(knowns, B, jnp.int64)
     weighting_a = _broadcast_case_param(weighting, B, jnp.int32)
@@ -526,6 +533,12 @@ def solve(
     leading field axis when fk does.
     """
     fk = jnp.asarray(fk)
+    B_p, K_p = prep.c.shape[0], prep.c.shape[1]
+    if fk.shape[-2:] != (B_p, K_p) or fk.ndim not in (2, 3):
+        raise ValueError(
+            "fk must have shape (B, K) = (%d, %d) matching the prepared "
+            "geometry (or (F, B, K) for multi-field); got %s"
+            % (B_p, K_p, fk.shape))
     if fk.ndim == 3:
         # multi-field: fk (F, B, K) — one call solves every field against
         # the same prepared geometry (the reference handles this with guest

@@ -156,9 +156,16 @@ def main():
     log("%d fits in %.3f s -> %.3f M fits/s" % (fits, dt, fits_per_sec / 1e6))
 
     # --- parity check vs an independent NumPy/LAPACK float64 pipeline ------
-    fi_dev = np.asarray(fit_chunk(xks[0], fks[0])[:64])
-    parity = parity_check(np.asarray(xks[0][:64]), np.asarray(fks[0][:64]),
-                          fi_dev)
+    # round 3: 1024 cases across two distinct chunks (the headline claim
+    # should not ride on 64 cases of one chunk; VERDICT r2 weak #8)
+    NPAR = 512
+    fi_dev = np.concatenate([
+        np.asarray(fit_chunk(xks[0], fks[0])[:NPAR]),
+        np.asarray(fit_chunk(xks[1], fks[1])[:NPAR])])
+    parity = parity_check(
+        np.concatenate([np.asarray(xks[0][:NPAR]), np.asarray(xks[1][:NPAR])]),
+        np.concatenate([np.asarray(fks[0][:NPAR]), np.asarray(fks[1][:NPAR])]),
+        fi_dev)
     log("DOF parity (L-inf rel) vs NumPy f64 reference: %.3e" % parity)
 
     result = {

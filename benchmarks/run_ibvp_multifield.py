@@ -11,8 +11,13 @@ wlsqm/fitter/expert.pyx:110-124) done batch-style: keep the state as
 factorization's multi-RHS path in one call.  Indexing cost is paid once
 per step instead of once per field.
 
+Round 3 adds the Pallas window gather (wlsqm_tpu/ops/gather.py): after
+Morton-ordering the cloud, each block of cases reads one contiguous DMA
+window of u and selects neighbors with a one-hot MXU matmul — replacing
+XLA's per-element gather entirely.  The table below reports both.
+
 Run on TPU:  python benchmarks/run_ibvp_multifield.py
-Prints a step-time table vs F (fields per step).
+Prints a step-time table vs F (fields per step), xla vs window gather.
 """
 
 import os
@@ -36,11 +41,17 @@ def main():
     dt = 2e-5
     steps_per_scan = 50
 
+    from wlsqm_tpu.ops import gather as gth
+
     pts = rng.uniform(0.0, 1.0, (n, 2))
+    pts = pts[gth.morton_order(pts)]      # localize neighbor indices
     xk_idx, _ = neighbors.knn(pts, pts, k + 1, backend="tpu")
     xk_idx = np.asarray(xk_idx)[:, 1:]
     xk = jnp.asarray(pts[xk_idx])
-    idx = jnp.asarray(xk_idx)
+    idx = jnp.asarray(xk_idx.astype(np.int32))
+    gplan = gth.plan_window_gather(xk_idx, n)
+    print("window-gather plan:", "OK (%d blocks, W=%d)"
+          % (gplan.nblk, gplan.window) if gplan else "overflow -> xla only")
 
     prep = wt.prepare(xk, jnp.asarray(pts), order=2,
                       weighting=wt.WEIGHT_CENTER, precision="ds",
@@ -63,33 +74,45 @@ def main():
           % (n, k, steps_per_scan), flush=True)
     print("F  step_ms  per_field_ms  checksum", flush=True)
 
-    rows = []
-    for F in (1, 2, 4, 8):
-        u0 = jnp.asarray(
-            np.sin(np.pi * pts[:, 0:1] * np.arange(1, F + 1))
-            * np.sin(np.pi * pts[:, 1:2]))           # (n, F)
-
+    def make_scan(gather_fn):
         @jax.jit
         def multi_step_scan(u):
             def step(u, _):
-                fk = u[idx]                           # ONE gather: (B, K, F)
+                fk = gather_fn(u)                     # ONE gather: (B, K, F)
                 fk = jnp.moveaxis(fk, -1, 0)          # (F, B, K)
                 fi, _ = wt.solve(prep, fk)            # multi-RHS solve
                 lap = fi[..., lap_idx].sum(-1)        # (F, B)
                 return u + dt * nu * lap.T, None
             u, _ = jax.lax.scan(step, u, None, length=steps_per_scan)
             return u
+        return multi_step_scan
 
-        t, out = timed(multi_step_scan, u0)
-        step_ms = t / steps_per_scan * 1e3
-        rows.append((F, step_ms))
-        print("%d  %7.2f  %11.2f  %.6f"
-              % (F, step_ms, step_ms / F, float(jnp.sum(out))), flush=True)
+    variants = [("xla", make_scan(lambda u: u[idx]))]
+    if gplan is not None:
+        variants.append(("window", make_scan(
+            lambda u: gth.gather_rows(u, idx, gplan))))
 
-    f1 = rows[0][1]
-    fN, msN = rows[-1]
-    print("\nper-field cost: %.2f ms at F=1  ->  %.2f ms at F=%d (%.1fx)"
-          % (f1, msN / fN, fN, f1 / (msN / fN)), flush=True)
+    rows = {}
+    for name, scan_fn in variants:
+        for F in (1, 2, 4, 8):
+            u0 = jnp.asarray(
+                np.sin(np.pi * pts[:, 0:1] * np.arange(1, F + 1))
+                * np.sin(np.pi * pts[:, 1:2]))       # (n, F)
+            t, out = timed(scan_fn, u0)
+            step_ms = t / steps_per_scan * 1e3
+            rows[(name, F)] = (step_ms, float(jnp.sum(out)))
+            print("%-6s %d  %7.2f  %11.2f  %.6f"
+                  % (name, F, step_ms, step_ms / F, float(jnp.sum(out))),
+                  flush=True)
+
+    if gplan is not None:
+        for F in (1, 8):
+            sx, cx = rows[("xla", F)]
+            sw, cw = rows[("window", F)]
+            assert abs(cx - cw) < 1e-6 * max(1.0, abs(cx)), \
+                "gather variants disagree"
+            print("F=%d: window gather %.2f ms vs xla %.2f ms  (%.2fx step "
+                  "speedup)" % (F, sw, sx, sx / sw), flush=True)
 
 
 if __name__ == "__main__":

@@ -263,6 +263,40 @@ def test_msymmetricfactor_factored_pair(rng):
             b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
 
 
+def test_msymmetricfactor_format_mismatch_raises(rng):
+    """Batched-LU and dsytrf pivot formats must not silently interchange.
+
+    In the reference both carry dsytrf format, so mixing is legal there
+    (reference: wlsqm/utils/lapackdrivers.pyx:1196-1305); here the batched
+    pair is LU-format and tagged, and cross-family use raises.
+    """
+    import pytest
+
+    from wlsqm_tpu.utils.lapackdrivers import (
+        msymmetricfactor, msymmetricfactored,
+        symmetricfactor, symmetricfactored,
+    )
+
+    n, nb = 6, 8
+    A0 = _sym_stack(rng, n, nb)
+    A = np.asfortranarray(A0.copy())
+    ipiv = np.zeros((n, nb), np.int32, order="F")
+    msymmetricfactor(A, ipiv)
+    # slicing the batched factorization into the single-matrix family
+    b = np.ascontiguousarray(np.random.default_rng(3).standard_normal(n))
+    with pytest.raises(ValueError, match="batched-LU"):
+        symmetricfactored(np.asfortranarray(A[:, :, 0]),
+                          np.ascontiguousarray(ipiv[:, 0]), b)
+    # dsytrf pivots into the batched back-substitution
+    A1 = np.asfortranarray(A0[:, :, 0].copy())
+    ipiv1 = symmetricfactor(A1)
+    bb = np.asfortranarray(
+        np.random.default_rng(4).standard_normal((n, nb)))
+    with pytest.raises(ValueError, match="not interchangeable"):
+        msymmetricfactored(A, np.asfortranarray(
+            np.repeat(ipiv1[:, None], nb, axis=1)), bb)
+
+
 def test_mgeneralfactor_factored_pair(rng):
     from wlsqm_tpu.utils.lapackdrivers import (
         mgeneralfactor, mgeneralfactored,

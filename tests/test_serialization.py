@@ -30,7 +30,10 @@ def test_roundtrip_f64(rng, tmp_path):
     assert prep2.precision == prep.precision
 
 
-def test_roundtrip_ds_unrolled(rng, tmp_path):
+def test_roundtrip_ds_unrolled(rng, tmp_path, monkeypatch):
+    # serialization mechanics only — bypass the ds-fidelity canary, which
+    # (correctly) blocks explicit ds on backends that degrade pairs
+    monkeypatch.setenv("WLSQM_TPU_ALLOW_DEGRADED_DS", "1")
     prep, fk = _prep_and_data(rng, precision="ds", solver="chol_unrolled")
     fi1, _ = wt.solve(prep, fk)
     path = str(tmp_path / "prep_ds.npz")

@@ -44,11 +44,13 @@ from wlsqm_tpu.api import (  # noqa: F401
     fit,
     fit_many,
     fit_stream,
+    plan_fit_many,
     prepare,
     solve,
     interpolate,
+    FitPlan,
     FitResult,
 )
 from wlsqm_tpu.fitter.engine import Prepared  # noqa: F401
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

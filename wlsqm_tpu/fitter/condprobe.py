@@ -55,11 +55,122 @@ SAFETY = 4.0
 SAMPLE = 256
 
 
+#: number of screen-selected worst cases appended to the probe sample
+#: (per screen criterion)
+SCREEN_TOP = 64
+
+
 def _sample_idx(B: int, sample: int) -> np.ndarray:
-    """Deterministic sample covering the batch (first/last included)."""
+    """Deterministic sample covering the batch (first/last included).
+
+    For large batches the sample grows with B (up to 4x the default) so
+    the coverage density does not collapse; the worst-case screen
+    (:func:`_screen_scalars`) separately pins outliers that any spaced
+    sample could miss.
+    """
     if B <= sample:
         return np.arange(B)
+    sample = max(sample, min(4 * SAMPLE, B // 64))
     return np.unique(np.linspace(0, B - 1, sample).astype(np.int64))
+
+
+def _screen_math(xp, xk, nk, xi, order_b, dimension: int):
+    """Shared screen arithmetic (xp = np or jnp; jit-safe: no linalg ops,
+    closed-form determinants — jnp.linalg.det hangs on the axon bridge)."""
+    B, K, dim = xk.shape
+    nk_a = (xp.full((B,), K, np.int32) if nk is None else nk)
+    delta = xk - xi[:, None, :]
+    kmask = xp.arange(K)[None, :] < nk_a[:, None]
+    delta = xp.where(kmask[:, :, None], delta, 0.0)
+    d2 = (delta ** 2).sum(-1)
+    h2 = xp.where(kmask, d2, 0.0).max(-1)
+    e = xp.ceil(0.5 * xp.log2(xp.where(h2 > 0, h2, 1.0)))
+    inv_s = xp.exp2(-e)
+    amp = xp.maximum(inv_s, 1.0) ** order_b
+    # degenerate-radius cases (all neighbors on top of xi) are caught by
+    # the aniso channel: force them to the worst ranking
+    u = delta / xp.sqrt(xp.where(h2 > 0, h2, 1.0))[:, None, None]
+    denom = xp.maximum(nk_a, 1).astype(np.float64)[:, None, None]
+    M = (u[:, :, :, None] * u[:, :, None, :]).sum(axis=1) / denom  # (B,d,d)
+    if dim == 1:
+        det = M[:, 0, 0]
+        tr = M[:, 0, 0]
+    elif dim == 2:
+        det = M[:, 0, 0] * M[:, 1, 1] - M[:, 0, 1] * M[:, 1, 0]
+        tr = (M[:, 0, 0] + M[:, 1, 1]) / 2.0
+    else:
+        det = (M[:, 0, 0] * (M[:, 1, 1] * M[:, 2, 2]
+                             - M[:, 1, 2] * M[:, 2, 1])
+               - M[:, 0, 1] * (M[:, 1, 0] * M[:, 2, 2]
+                               - M[:, 1, 2] * M[:, 2, 0])
+               + M[:, 0, 2] * (M[:, 1, 0] * M[:, 2, 1]
+                               - M[:, 1, 1] * M[:, 2, 0]))
+        tr = (M[:, 0, 0] + M[:, 1, 1] + M[:, 2, 2]) / 3.0
+    aniso = det / xp.maximum(tr, 1e-300) ** dim
+    aniso = xp.where(h2 > 0, aniso, 0.0)
+    return amp, aniso
+
+
+def _screen_scalars(xk, nk, xi, order, dimension: int):
+    """Full-batch O(B*K) screen: per-case (amp, aniso) NumPy arrays.
+
+    ``amp = max(inv_s, 1)**order`` is the exact radius de-scale
+    amplification of the kernel's error (tiny neighborhoods are the #1
+    accuracy hazard); ``aniso = det(M) / (trace(M)/dim)**dim`` of the
+    mask-normalized neighbor second-moment matrix ``M`` is a scale-free
+    degeneracy proxy that approaches 0 for collinear/coplanar
+    neighborhoods (which make A near-singular at any radius).  Device
+    arrays run ONE jitted program (per-op eager dispatch costs seconds
+    per op on the remote-TPU bridge), so only two (B,) vectors ever
+    reach the host, never the full geometry.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    B = xk.shape[0]
+    if isinstance(xk, jax.Array):
+        jit_screen = partial(
+            jax.jit, static_argnames=("dimension", "has_nk"))(_screen_jit)
+        amp, aniso = jit_screen(
+            xk, jnp.zeros((B,), jnp.int32) if nk is None else jnp.asarray(nk),
+            jnp.asarray(xi),
+            jnp.broadcast_to(jnp.asarray(order, jnp.float64), (B,)),
+            dimension=dimension, has_nk=nk is not None)
+        return np.asarray(amp), np.asarray(aniso)
+    order_b = np.broadcast_to(np.asarray(order, np.float64), (B,))
+    xi_np = np.asarray(xi)
+    nk_np = None if nk is None else np.asarray(nk)
+    amp, aniso = _screen_math(np, np.asarray(xk), nk_np, xi_np, order_b,
+                              dimension)
+    return np.asarray(amp), np.asarray(aniso)
+
+
+def _screen_jit(xk, nk, xi, order_b, *, dimension, has_nk):
+    import jax.numpy as jnp
+
+    return _screen_math(jnp, xk, nk if has_nk else None, xi, order_b,
+                        dimension)
+
+
+def _screened_idx(xk, nk, xi, order, dimension: int, sample: int):
+    """Probe sample = spaced coverage + the screened worst cases.
+
+    The spaced sample alone can miss a sparse subset of pathological
+    cases (tiny radius, degenerate geometry) in a large batch; the O(B*K)
+    screen ranks ALL cases by the two cheap hazard proxies and appends
+    the top :data:`SCREEN_TOP` of each, so the SVD-based gate always sees
+    the worst candidates.
+    """
+    B = xk.shape[0]
+    base = _sample_idx(B, sample)
+    if B <= len(base):
+        return base
+    amp, aniso = _screen_scalars(xk, nk, xi, order, dimension)
+    ntop = min(SCREEN_TOP, B)
+    worst_amp = np.argpartition(amp, -ntop)[-ntop:]
+    worst_deg = np.argpartition(aniso, ntop - 1)[:ntop]
+    return np.unique(np.concatenate([base, worst_amp, worst_deg]))
 
 
 #: f32 unit roundoff — the per-sweep contraction rate of the kernel's
@@ -74,10 +185,13 @@ def _cond_amp(xk, nk, xi, order, weighting, *, dimension: int,
     xk (B, K, dim) | nk (B,) or None | xi (B, dim) | order scalar or (B,)
     | weighting scalar or (B,).  The case sample is gathered BEFORE any
     host conversion, so device-resident geometry costs one small
-    (sample, K, dim) transfer, never a full-batch copy.
+    (sample, K, dim) transfer, never a full-batch copy.  The sample is
+    the spaced coverage plus the full-batch screen's worst candidates
+    (:func:`_screened_idx`), so sparse pathological cases in a large
+    batch cannot fall between sample points.
     """
     B, K, dim = xk.shape
-    idx = _sample_idx(B, sample)
+    idx = _screened_idx(xk, nk, xi, order, dimension, sample)
 
     # fancy-index first (runs on device for jax arrays), convert after
     xk_s = np.asarray(xk[idx], dtype=np.float64)
@@ -118,9 +232,11 @@ def _cond_amp(xk, nk, xi, order, weighting, *, dimension: int,
         kn = np.array([(int(knowns) >> j) & 1 for j in range(NO)], bool)
         active = active & ~kn[None, :]
 
+    from wlsqm_tpu.fitter import engine
+
     max_d2 = np.where(kmask, d2, 0.0).max(-1, keepdims=True)
     t = 1.0 - np.sqrt(d2 / np.where(max_d2 > 0, max_d2, 1.0))
-    w_center = 1e-4 + (1 - 1e-4) * t * t
+    w_center = engine.WEIGHT_ALPHA + engine.WEIGHT_BETA * t * t
     w = np.where(weighting_a[:, None] == defs.WEIGHT_CENTER,
                  w_center, 1.0)
     w = np.where(kmask, w, 0.0)

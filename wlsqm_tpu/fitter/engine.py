@@ -400,10 +400,14 @@ def _matvec_scaled(prep: Prepared, x: jax.Array) -> jax.Array:
     return jnp.where(prep.unknown[..., :, None], y, x)
 
 
-def _solve_scaled(prep: Prepared, b: jax.Array) -> jax.Array:
+def _solve_scaled(prep: Prepared, b: jax.Array,
+                  mixed_steps: int | None = None) -> jax.Array:
     """Solve A_scaled X = b through the prepared factorization.
 
-    b: (..., n, m) multi-RHS.
+    b: (..., n, m) multi-RHS.  ``mixed_steps`` overrides the number of
+    refinement sweeps in the mixed/fast modes (the precision ladder picks
+    it from the probed conditioning — wlsqm_tpu/fitter/ladder.py; the
+    class defaults below are tuned for cond ~ 1e2..1e5).
 
     * PRECISION_F64: direct back-substitution in the input dtype.
     * PRECISION_MIXED: f32 factorization + MIXED_REFINE_STEPS rounds of
@@ -426,7 +430,8 @@ def _solve_scaled(prep: Prepared, b: jax.Array) -> jax.Array:
                 prep.fac, r.astype(jnp.float32), prep.solver
             ).astype(dtype)
 
-        x = lax.fori_loop(0, MIXED_REFINE_STEPS, body_mixed, x)
+        n = MIXED_REFINE_STEPS if mixed_steps is None else mixed_steps
+        x = lax.fori_loop(0, n, body_mixed, x)
     else:  # PRECISION_FAST
         def body_fast(_, x):
             r = b - _matvec_scaled(prep, x)
@@ -434,7 +439,8 @@ def _solve_scaled(prep: Prepared, b: jax.Array) -> jax.Array:
                 prep.fac, r.astype(jnp.float32), prep.solver
             ).astype(dtype)
 
-        x = lax.fori_loop(0, FAST_REFINE_STEPS, body_fast, x)
+        n = FAST_REFINE_STEPS if mixed_steps is None else mixed_steps
+        x = lax.fori_loop(0, n, body_fast, x)
     return x
 
 
@@ -479,7 +485,8 @@ def cond_estimate(prep: Prepared, iters: int = 20) -> jax.Array:
     return lmax * inv_lmin
 
 
-def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool = False):
+def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array,
+                   do_sens: bool = False, mixed_steps: int | None = None):
     """Fit the model against data ``fk`` using prepared geometry.
 
     Knowns elimination moves the known DOFs' contribution to the RHS
@@ -507,7 +514,7 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
     # mask padded-neighbor slots (w == 0) so non-finite fk padding is inert
     resid = jnp.where(prep.w > 0, fk - model_known, 0.0)
     b = _rhs(prep, resid)
-    x = _solve_scaled(prep, b[..., None])[..., 0]
+    x = _solve_scaled(prep, b[..., None], mixed_steps)[..., 0]
     sol = x * prep.col_scale
     if prep.dof_scale is not None:
         sol = sol * prep.dof_scale
@@ -518,7 +525,7 @@ def solve_prepared(prep: Prepared, fk: jax.Array, fi: jax.Array, do_sens: bool =
         # all-nk multi-RHS triangular solves in one shot
         S = (prep.c * prep.w[..., None]).swapaxes(-1, -2)       # (B, NO, K)
         S = jnp.where(prep.unknown[..., None], S * prep.row_scale[..., None], 0.0)
-        X = _solve_scaled(prep, S)                               # (B, NO, K)
+        X = _solve_scaled(prep, S, mixed_steps)                  # (B, NO, K)
         sens = X.swapaxes(-1, -2) * prep.col_scale[..., None, :]  # (B, K, NO)
         if prep.dof_scale is not None:
             sens = sens * prep.dof_scale[..., None, :]
@@ -533,6 +540,7 @@ def solve_iterative_prepared(
     fi: jax.Array,
     max_iter: int,
     do_sens: bool = False,
+    mixed_steps: int | None = None,
 ):
     """Fit with iterative refinement (ALGO_ITERATIVE).
 
@@ -550,7 +558,7 @@ def solve_iterative_prepared(
 
         return engine_ds.solve_iterative_prepared_ds(
             prep, fk, fi, max_iter, do_sens)
-    fi1, sens = solve_prepared(prep, fk, fi, do_sens)
+    fi1, sens = solve_prepared(prep, fk, fi, do_sens, mixed_steps)
     dtype = fk.dtype
     kmask = prep.w > 0
 
@@ -571,7 +579,7 @@ def solve_iterative_prepared(
         done_now = jnp.logical_or(done, norm == prev_norm)
 
         b = _rhs(prep, resid)
-        dx = _solve_scaled(prep, b[..., None])[..., 0]
+        dx = _solve_scaled(prep, b[..., None], mixed_steps)[..., 0]
         corr = dx * prep.col_scale
         if prep.dof_scale is not None:
             corr = corr * prep.dof_scale
@@ -611,6 +619,7 @@ def solve_iterative_prepared(
         "ruiz_eps",
         "precision",
         "scaling",
+        "mixed_steps",
     ),
 )
 def fit_batch(
@@ -634,6 +643,7 @@ def fit_batch(
     ruiz_eps: float = ruiz_ops.RUIZ_EPS,
     precision: str = PRECISION_F64,
     scaling: str = "ruiz",
+    mixed_steps: int | None = None,
 ):
     """Fit a batch of local models end to end.
 
@@ -651,10 +661,10 @@ def fit_batch(
     )
     if iterative:
         fi_out, sens, iters = solve_iterative_prepared(
-            prep, fk, fi, max_iter, do_sens
+            prep, fk, fi, max_iter, do_sens, mixed_steps
         )
     else:
-        fi_out, sens = solve_prepared(prep, fk, fi, do_sens)
+        fi_out, sens = solve_prepared(prep, fk, fi, do_sens, mixed_steps)
         iters = jnp.zeros(fk.shape[0], jnp.int32)
     if sens is None:
         sens = jnp.zeros((0,), fk.dtype)  # jit-friendly placeholder

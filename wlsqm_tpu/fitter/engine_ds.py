@@ -37,6 +37,54 @@ DS_SENS_REFINE_STEPS = 2
 WEIGHT_ALPHA = 1e-4
 WEIGHT_BETA = 1.0 - WEIGHT_ALPHA
 
+# ds-fidelity canary results, cached per backend name
+_DS_CANARY: dict[str, bool] = {}
+
+
+def _run_ds_canary() -> bool:
+    """End-to-end pair-fidelity check of the ds engine on this backend.
+
+    XLA:CPU can fuse-and-duplicate the pair-arithmetic chains in large
+    graphs, silently degrading double-single to plain f32 (see
+    ops/twofloat.py docstring).  A micro-canary could pass while the real
+    pipeline degrades, so this runs the ACTUAL ds engine on a small
+    deterministic order-4 batch and compares against the f64 engine:
+    intact pairs land ~1e-12 relative; degraded pairs land ~1e-5.
+    """
+    from wlsqm_tpu.fitter import engine
+
+    B, K, dim, order = 256, 24, 2, 4
+    NO = defs.number_of_dofs(dim, order)
+    i = np.arange(B)[:, None] * K + np.arange(K)[None, :]
+    xk = np.stack([np.cos(0.7 * i + 0.1), np.sin(1.3 * i + 0.2)], axis=-1)
+    xi = np.zeros((B, dim))
+    fk = np.sin(1.1 * xk[..., 0]) * np.cos(0.9 * xk[..., 1])
+    args = (jnp.asarray(xk), jnp.asarray(fk),
+            jnp.full((B,), K, jnp.int32), jnp.asarray(xi),
+            jnp.zeros((B, NO)), jnp.full((B,), order, jnp.int32),
+            jnp.zeros((B,), jnp.int64),
+            jnp.full((B,), defs.WEIGHT_UNIFORM, jnp.int32))
+    fi_ds = np.asarray(engine.fit_batch(
+        *args, dimension=dim, NO=NO, precision="ds")[0])
+    fi_64 = np.asarray(engine.fit_batch(
+        *args, dimension=dim, NO=NO, precision="f64")[0])
+    rel = np.abs(fi_ds - fi_64).max() / np.abs(fi_64).max()
+    return bool(np.isfinite(rel) and rel < 1e-9)
+
+
+def ds_backend_ok() -> bool:
+    """Whether double-single arithmetic is trustworthy on this backend.
+
+    Runs :func:`_run_ds_canary` once per backend and caches the verdict.
+    The api layer raises on an explicit ``precision="ds"`` request when
+    this is False (override: ``WLSQM_TPU_ALLOW_DEGRADED_DS=1`` downgrades
+    to a warning), and the auto ladder skips the ds rung.
+    """
+    backend = jax.default_backend()
+    if backend not in _DS_CANARY:
+        _DS_CANARY[backend] = _run_ds_canary()
+    return _DS_CANARY[backend]
+
 
 def _where_pair(mask, x, y):
     return jnp.where(mask, x[0], y[0]), jnp.where(mask, x[1], y[1])

@@ -44,9 +44,11 @@ _prepare_jit = partial(
                      "ruiz_max_iter", "ruiz_eps", "precision", "scaling"),
 )(engine.prepare)
 
-_solve_jit = jax.jit(engine.solve_prepared, static_argnames=("do_sens",))
+_solve_jit = jax.jit(engine.solve_prepared,
+                     static_argnames=("do_sens", "mixed_steps"))
 _solve_iter_jit = jax.jit(
-    engine.solve_iterative_prepared, static_argnames=("max_iter", "do_sens")
+    engine.solve_iterative_prepared,
+    static_argnames=("max_iter", "do_sens", "mixed_steps")
 )
 
 
@@ -197,6 +199,14 @@ class ExpertSolver:
         self._kernel_geo = None   # padded device geometry for kernel solves
         self._kernel_acc_ok = None  # cached conditioning-probe verdict
         self._kernel_refine_steps = None  # cached probe-picked sweep count
+        self._cond_amp = None     # cached probe sample (cond, amp)
+        self._prep_mixed_steps = None  # ladder-picked fast/mixed sweeps
+        self._fi0_dev = None      # cached device zeros for knowns-free solves
+        # active-DOF write-back mask (reference Case_get_fi copies the
+        # active DOFs only; trailing inactive DOFs stay untouched)
+        counts = np.asarray(defs._DOF_COUNTS[self.dimension])
+        no_per = counts[np.clip(self.order, 0, defs.MAX_ORDER)]
+        self._active_np = (np.arange(self.NO)[None, :] < no_per[:, None])
 
     # -- prepare -----------------------------------------------------------
 
@@ -216,6 +226,7 @@ class ExpertSolver:
             self.xk = self.host.xk
             self.xi = self.host.xi
             self.tree = self.host.tree
+            self._prep_mixed_steps = self.host._prep_mixed_steps
             self.ready = True
             return
 
@@ -233,7 +244,33 @@ class ExpertSolver:
         self._kernel_geo = None
         self._kernel_acc_ok = None
         self._kernel_refine_steps = None
+        self._cond_amp = None
+        self._fi0_dev = None
         self.tree = None
+
+        # Under auto precision (the compat ds-grade default), pick the
+        # PREPARED path's precision with the ladder too: solves that are
+        # not kernel-eligible (small batches, do_sens heterogenea, ...)
+        # then run ds/fast/mixed instead of emulated f64 — no 1000x cliff
+        # on the prepared path either (wlsqm_tpu/fitter/ladder.py).
+        precision, scaling, solver = self.precision, self.scaling, self.solver
+        self._prep_mixed_steps = None
+        if (not self._precision_explicit and not self.debug
+                and jax.default_backend() != "cpu"):
+            from wlsqm_tpu import config
+            from wlsqm_tpu.fitter import engine_ds, ladder
+
+            if config.compat_precision() != "f64":
+                self._run_kernel_probe()
+                route = ladder.choose(
+                    self._cond_amp, kernel_ok=False,
+                    ds_xla_ok=engine_ds.ds_backend_ok())
+                precision = route.precision
+                self._prep_mixed_steps = route.mixed_steps
+                scaling = "ruiz" if precision == "f64" else "jacobi"
+                solver = (solve_ops.SOLVER_CHOLESKY
+                          if precision in ("f64", "mixed", "fast")
+                          else solve_ops.SOLVER_CHOLESKY_UNROLLED)
 
         self.prepared = _prepare_jit(
             jnp.asarray(xk_b),
@@ -244,10 +281,10 @@ class ExpertSolver:
             jnp.asarray(self.weighting_method),
             dimension=self.dimension,
             NO=self.NO,
-            solver=self.solver,
+            solver=solver,
             debug=self.debug,
-            precision=self.precision,
-            scaling=self.scaling,
+            precision=precision,
+            scaling=scaling,
         )
         self.ready = True
 
@@ -296,24 +333,46 @@ class ExpertSolver:
 
         (reference: wlsqm/fitter/expert.pyx:467-655)
 
-        fk  : (ncases, max(nk)) function values at the neighbor points
-        fi  : (ncases, NO) in/out — knowns in, unknowns filled in place
+        fk  : (ncases, max(nk)) function values at the neighbor points —
+              a NumPy array, or a device (JAX) array (skips the upload)
+        fi  : (ncases, NO) in/out NumPy — knowns in, unknowns filled in
+              place (use :meth:`solve_device` for device-resident output)
         sens: (ncases, max(nk), NO) out if ``do_sens`` was set
 
         Returns the maximum number of refinement iterations taken (0 for
         ALGO_BASIC).
+
+        Boundary notes (round 3): device-array ``fk`` is consumed without
+        a host copy; the knowns seed ``fi`` is uploaded only when the
+        batch actually has known DOFs (a cached device zero-buffer serves
+        otherwise); all outputs come back in ONE ``jax.device_get`` (one
+        host sync instead of up to three).
         """
         if not self.ready:
             raise RuntimeError(
                 "Solver is not in the ready state; prepare() must be called "
                 "before solve()")
 
-        fk = np.asarray(fk, dtype=np.float64)
-        fi_np = np.asarray(fi, dtype=np.float64)
-        fi_in = jnp.asarray(np.ascontiguousarray(fi_np[:, :self.NO]))
-        fk_j = jnp.asarray(fk)
+        fk_is_dev = isinstance(fk, jax.Array)
+        fk_j = fk if fk_is_dev else jnp.asarray(np.asarray(fk, np.float64))
+        B, K = int(fk_j.shape[0]), int(fk_j.shape[1])
+        kn = int(np.asarray(self.knowns).max())
+        fi_np = np.asarray(fi)
+        if kn or self.algorithm == defs.ALGO_ITERATIVE:
+            fi_in = jnp.asarray(
+                np.ascontiguousarray(fi_np[:, :self.NO], dtype=np.float64))
+        else:
+            if self._fi0_dev is None:
+                self._fi0_dev = jnp.zeros((self.ncases, self.NO))
+            fi_in = self._fi0_dev
 
-        if self._kernel_eligible(fk):
+        def pad_rows(a, pad):
+            if a is None or pad == 0:
+                return a
+            xp = jnp if isinstance(a, jax.Array) else np
+            return xp.concatenate([a, a[:pad]])
+
+        if self._kernel_eligible(fk_j):
             # On TPU, re-deriving the factorization inside the fused kernel
             # is faster than back-substituting the prepared one through the
             # memory-bound XLA path (the kernel keeps everything in VMEM) —
@@ -321,9 +380,7 @@ class ExpertSolver:
             # out for strict f64 parity with the prepared path.
             from wlsqm_tpu.ops import pallas_fit
 
-            B, K = fk.shape
             pad = (-B) % pallas_fit.TILE
-            cat = (lambda a: np.concatenate([a, a[:pad]]) if pad else a)
             if self._kernel_geo is None:
                 # geometry is static across solves: upload it once
                 xk_b = (np.asarray(self.xk)[..., None]
@@ -331,20 +388,19 @@ class ExpertSolver:
                 xi_b = (np.asarray(self.xi).reshape(B, 1)
                         if self.dimension == 1 else np.asarray(self.xi))
                 self._kernel_geo = (
-                    jnp.asarray(cat(xk_b)),
-                    jnp.asarray(cat(np.asarray(self.nk))),
-                    jnp.asarray(cat(xi_b)))
+                    jnp.asarray(pad_rows(xk_b, pad)),
+                    jnp.asarray(pad_rows(np.asarray(self.nk), pad)),
+                    jnp.asarray(pad_rows(xi_b, pad)))
             xk_d, nk_d, xi_d = self._kernel_geo
             iterative = self.algorithm == defs.ALGO_ITERATIVE
-            kn = int(np.asarray(self.knowns).max())
             fi_p = None
             if kn:
-                fi_p = jnp.asarray(cat(np.ascontiguousarray(
-                    fi_np[:, :self.NO])))
+                fi_p = pad_rows(jnp.asarray(np.ascontiguousarray(
+                    fi_np[:, :self.NO], dtype=np.float64)), pad)
             if self._kernel_refine_steps is None:
                 self._run_kernel_probe()  # geometry-only, once per prepare
             out = pallas_fit.fit_pallas(
-                xk_d, jnp.asarray(cat(fk)), nk_d, xi_d, fi_p,
+                xk_d, pad_rows(fk_j, pad), nk_d, xi_d, fi_p,
                 dimension=self.dimension,
                 order=int(np.asarray(self.order).max()),
                 weighting=int(np.asarray(self.weighting_method).max()),
@@ -353,40 +409,90 @@ class ExpertSolver:
                 max_iter=(self.max_iter if iterative else 0))
             if not (iterative or self.do_sens):
                 out = (out,)
-            fi_out = out[0][:B]
+            self._fi_internal = out[0][:B]
+            host_out = jax.device_get(
+                [o[:B] for o in out])  # one transfer/sync for everything
+            fi[:, :self.NO] = host_out[0]
             nxt = 1
             max_iters = 0
             if iterative:
-                max_iters = int(np.asarray(out[nxt])[:B].max(initial=0))
+                max_iters = int(host_out[nxt].max(initial=0))
                 nxt += 1
             if self.do_sens:
                 if sens is None:
                     raise ValueError(
                         "do_sens solver requires a sens output array")
                 sens[...] = 0.0
-                sens[:, :K, :self.NO] = np.asarray(out[nxt])[:B]
-            self._fi_internal = fi_out
-            fi[:, :self.NO] = np.asarray(fi_out)
+                sens[:, :K, :self.NO] = host_out[nxt]
             return max_iters
 
+        steps = self._prep_mixed_steps
         if self.algorithm == defs.ALGO_ITERATIVE:
             fi_out, sens_out, iters = _solve_iter_jit(
                 self.prepared, fk_j, fi_in,
-                max_iter=self.max_iter, do_sens=self.do_sens)
-            max_iters = int(np.asarray(iters).max(initial=0))
+                max_iter=self.max_iter, do_sens=self.do_sens,
+                mixed_steps=steps)
         else:
             fi_out, sens_out = _solve_jit(
-                self.prepared, fk_j, fi_in, do_sens=self.do_sens)
-            max_iters = 0
+                self.prepared, fk_j, fi_in, do_sens=self.do_sens,
+                mixed_steps=steps)
+            iters = None
 
         self._fi_internal = fi_out
-        fi[:, :self.NO] = np.asarray(fi_out)
+        outs = [fi_out]
+        if iters is not None:
+            outs.append(iters)
+        if self.do_sens:
+            outs.append(sens_out)
+        host_out = jax.device_get(outs)  # one transfer/sync for everything
+        # reference Case_get_fi copies each case's ACTIVE DOFs; inactive
+        # trailing DOFs of lower-order cases stay untouched
+        np.copyto(fi[:, :self.NO], host_out[0], where=self._active_np)
+        nxt = 1
+        max_iters = 0
+        if iters is not None:
+            max_iters = int(host_out[nxt].max(initial=0))
+            nxt += 1
         if self.do_sens:
             if sens is None:
                 raise ValueError("do_sens solver requires a sens output array")
-            K = fk.shape[1]
-            sens[:, :K, :self.NO] = np.asarray(sens_out)
+            sens[:, :K, :self.NO] = host_out[nxt]
         return max_iters
+
+    def solve_device(self, fk, fi_init=None):
+        """Device-resident solve: JAX arrays in, JAX arrays out, no sync.
+
+        The extension :meth:`solve` cannot offer under the reference's
+        in-place NumPy contract: nothing crosses the host boundary, so
+        back-to-back calls (an IBVP time loop, a multi-field sweep)
+        pipeline asynchronously on device.  Runs the prepared-path engine
+        at the prepared precision (the ladder-picked fast path under auto
+        routing).
+
+        fk: (ncases, max_nk) for one field, or (F, ncases, max_nk) to
+        solve F fields against the same factorizations in one call.
+        fi_init: optional (…, ncases, NO) knowns/seed values.
+
+        Returns ``(fi, sens, iterations)`` — device arrays; ``sens`` is
+        None unless ``do_sens``; ``iterations`` is zeros for ALGO_BASIC.
+        """
+        if not self.ready:
+            raise RuntimeError(
+                "Solver is not in the ready state; prepare() must be called "
+                "before solve_device()")
+        from wlsqm_tpu import api
+
+        out = api.solve(
+            self.prepared, fk, fi_init, do_sens=self.do_sens,
+            iterative=self.algorithm == defs.ALGO_ITERATIVE,
+            max_iter=self.max_iter, mixed_steps=self._prep_mixed_steps)
+        if len(out) == 2:
+            fi_out, sens_out = out
+            iters = jnp.zeros(fi_out.shape[:-1], jnp.int32)
+        else:
+            fi_out, sens_out, iters = out
+        self._fi_internal = fi_out[0] if fi_out.ndim == 3 else fi_out
+        return fi_out, sens_out, iters
 
     def _kernel_eligible(self, fk) -> bool:
         """Whether solve() may route through the fused Pallas kernel.
@@ -436,6 +542,7 @@ class ExpertSolver:
             xk_b, self.nk, xi_b, self.order, self.weighting_method,
             dimension=self.dimension,
             knowns=int(np.asarray(self.knowns).max()))
+        self._cond_amp = cond_amp
         self._kernel_acc_ok = condprobe.accuracy_ok_from(cond_amp)
         self._kernel_refine_steps = condprobe.pick_from(cond_amp)
 

@@ -1,0 +1,162 @@
+"""Tiered precision routing: no 1000x cliff off the kernel path.
+
+When ``backend="auto"`` cannot put a batch on the fused ds kernel — the
+conditioning probe predicts an error above the 1e-10 parity bar, or the
+batch shape is ineligible — the round-2 behavior was to drop straight to
+the XLA engine at emulated-f64 *default* precision: ~0.014 M fits/s on
+TPU v5e, a ~1000x cliff below the kernel's 14+ M (BASELINE.md).  The
+reference has no such cliff — ill-conditioned high-order fits are exactly
+the case its Ruiz-scaling machinery exists for (reference:
+wlsqm/fitter/impl.pyx:620-689, README.md:76-78) and run at full speed.
+
+This module turns the conditioning probe's error model
+(:mod:`wlsqm_tpu.fitter.condprobe`) into a *ladder*: the cheapest
+execution path whose predicted error clears the accuracy bar.
+
+Rungs, fastest first:
+
+1. **kernel**: the fused ds kernel, when its converged floor
+   ``DS_UNIT * cond2(A_jacobi) * inv_s**order`` clears the bar.
+2. **ds XLA engine**: same double-single floor, for batches whose *shape*
+   the kernel cannot take (too small to tile, VMEM).
+3. **fast XLA engine, adaptive sweeps**: f32 assembly + f32 Cholesky used
+   as a *preconditioner*; the refinement residual is evaluated through
+   the exact f64 basis rows, so the iteration converges to the TRUE f64
+   normal-equations solution at rate ``~F32_UNIT * cond`` per sweep
+   (engine PRECISION_FAST).  The ladder picks the sweep count from the
+   probed conditioning.  This is the rung for probe-rejected batches: it
+   pays emulated f64 only in the O(B*K*NO) residual pieces, never in the
+   O(NO^3) factorization or O(K*NO^2) assembly.
+4. **mixed XLA engine, adaptive sweeps**: f64 assembly + f32 factor —
+   same convergence law with a cleaner preconditioner; used when the f32
+   *assembly* perturbation gets marginal (high cond).
+5. **f64 XLA engine**: bitwise the reference algorithm; the rung of last
+   resort (cond beyond f32-preconditioner convergence, or degenerate
+   geometry the probe cannot assess).
+
+Regime split (hardware-measured, benchmarks/run_ladder_sweep.py): when
+the predicted ds floor exceeds :data:`BEYOND_PARITY_FLOOR`, the problem
+is conditioning-limited — the f64 engine itself differs from an
+independent f64 oracle by the same magnitude as the kernel does (radius
+0.03 order-4: kernel 1.17e-5, f64 engine 1.2e-5, fast 3.8e-6), so no
+algorithm can certify 1e-10 parity and the ladder keeps the fused
+kernel's speed.  In the middle band (floor between the gate and
+BEYOND_PARITY_FLOOR) genuine f64-grade parity is still achievable and
+worth paying for: the fast rung delivers it.
+
+Measured dead end (TPU v5e, benchmarks/run_ladder_sweep.py, round 3): an
+outer data-space iterative refinement over the *kernel* (f64 residual at
+the data points + kernel corrective refit) stalls at ~0.2-0.3x the plain
+ds floor instead of contracting geometrically.  The ds floor is
+*basis-representation-limited*: the kernel's internal basis rows carry a
+deterministic ~4e-15 (48-bit pair) perturbation, so the outer iteration
+converges to the fixed point of the *perturbed projection*
+``C_ds^T W (fk - C x) = 0`` — within O(1) of the plain floor — rather
+than the true normal equations.  Reaching below the floor requires exact
+f64 residual *projection*, which is precisely rung 3.
+
+The decision is made once per batch/bucket on concrete data (host side)
+and returned as a hashable :class:`Route`, so it can also be captured in
+a :class:`wlsqm_tpu.api.FitPlan` and replayed inside ``jax.jit`` without
+tracing host logic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from wlsqm_tpu.fitter import condprobe
+
+__all__ = ["Route", "choose"]
+
+#: convergence target of the adaptive sweep counts (well under the 1e-10
+#: bar so fast/mixed-routed batches are f64-grade, not borderline)
+SWEEP_TARGET = 1e-13
+
+#: the fast rung's f32-assembled preconditioner is trusted while the
+#: per-sweep contraction rate F32_UNIT * cond is at most this
+FAST_MAX_RATE = 0.03
+
+#: mixed (f64-assembled, f32-factored) extends a bit further
+MIXED_MAX_RATE = 0.1
+
+MAX_SWEEPS = 14
+
+#: Above this predicted ds floor the problem is in the *conditioning-
+#: limited* regime: the measured f64-engine-vs-oracle error at such
+#: configurations is within ~10x of the ds floor itself (TPU sweep,
+#: benchmarks/run_ladder_sweep.py — e.g. radius 0.03 order-4: kernel
+#: 1.17e-5, f64 engine 1.2e-5, fast rung 3.8e-6 against the same oracle),
+#: i.e. NO pair of correct f64-grade algorithms agrees to 1e-10 there,
+#: the reference included.  Certifiable parity being unattainable, the
+#: ladder takes the fused kernel (~65x the fast rung's speed) and the
+#: docs flag the regime; callers who want the accuracy-optimal answer
+#: regardless of speed pass precision="fast"/"f64" explicitly.
+BEYOND_PARITY_FLOOR = 1e-8
+
+#: ds-floor ceiling for the conditioning-limited kernel shortcut: floors
+#: beyond this (or non-finite — singular probe) mean near-degenerate
+#: geometry where even the ds result may be garbage; fail safe to the
+#: f64 algorithm, matching the reference's behavior on such input
+KERNEL_MAX_FLOOR = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class Route:
+    """A hashable execution-path decision for one batch or bucket.
+
+    path: "kernel" (fused ds kernel) or "xla" (the engine at
+    ``precision``, with ``mixed_steps`` refinement sweeps for the
+    fast/mixed precisions).
+    """
+
+    path: str
+    refine_steps: int | None = None   # in-kernel ds sweeps (kernel path)
+    precision: str = "f64"            # engine precision (xla path)
+    mixed_steps: int | None = None    # adaptive fast/mixed sweeps
+
+
+def _sweeps(rate: float) -> int:
+    """Smallest n with rate**(n+1) <= SWEEP_TARGET."""
+    n = int(np.ceil(np.log(SWEEP_TARGET) / np.log(rate))) - 1
+    return max(n, 1)
+
+
+def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
+           kernel_ok: bool = True, ds_xla_ok: bool = True) -> Route:
+    """Pick the cheapest route whose predicted error clears ``tol``.
+
+    ``cond_amp``: a :func:`wlsqm_tpu.fitter.condprobe.probe` result (may
+    be None for degenerate geometry — routes to f64).  ``kernel_ok``:
+    batch shape is kernel-eligible; ``ds_xla_ok``: the ds XLA engine is
+    trustworthy here (False when the pair-fidelity canary fails — see
+    :func:`wlsqm_tpu.fitter.engine_ds.ds_backend_ok`).
+    """
+    if cond_amp is None:
+        return Route(path="xla", precision="f64")
+    cond, amp = cond_amp
+    floor = float(condprobe.DS_UNIT * (cond * amp).max())
+    if floor * condprobe.SAFETY <= tol:
+        if kernel_ok:
+            return Route(path="kernel",
+                         refine_steps=condprobe.pick_from(cond_amp, tol=tol))
+        if ds_xla_ok:
+            return Route(path="xla", precision="ds")
+    elif BEYOND_PARITY_FLOOR < floor <= KERNEL_MAX_FLOOR:
+        # conditioning-limited regime (see BEYOND_PARITY_FLOOR): take the
+        # fastest ds-floor path at the full sweep count.  Near-singular
+        # or degenerate geometry (floor beyond KERNEL_MAX_FLOOR, incl.
+        # inf from a singular probe) falls through to the f64 fail-safe.
+        if kernel_ok:
+            return Route(path="kernel", refine_steps=4)
+        if ds_xla_ok:
+            return Route(path="xla", precision="ds")
+    rate = float(condprobe.F32_UNIT * cond.max())
+    if rate <= FAST_MAX_RATE and _sweeps(max(rate, 1e-12)) <= MAX_SWEEPS:
+        return Route(path="xla", precision="fast",
+                     mixed_steps=_sweeps(max(rate, 1e-12)))
+    if rate <= MIXED_MAX_RATE and _sweeps(rate) <= MAX_SWEEPS:
+        return Route(path="xla", precision="mixed", mixed_steps=_sweeps(rate))
+    return Route(path="xla", precision="f64")

@@ -143,14 +143,15 @@ def _fit_many_impl(
     fi_np = np.asarray(fi, dtype=np.float64)
     fi_in = np.ascontiguousarray(fi_np[:, :NO])
 
-    # route eligible batches through the fused Pallas kernel on accelerator
-    # backends (order-of-magnitude faster; see ops/pallas_fit).  The kernel
-    # returns ds-grade DOFs (~1e-12 on benchmark clouds, conditioning floor
-    # ~cond x 1e-13 on ill-conditioned order-4 fits); the routing is an
-    # explicit documented knob — call
-    # wlsqm_tpu.config.set_compat_precision("f64") (or set
-    # WLSQM_TPU_NO_KERNEL_COMPAT=1 at process start) to keep the compat
-    # layer on the emulated-f64 engine for strict reference parity.
+    # Route accelerator batches through the api layer's tiered auto
+    # dispatch (wlsqm_tpu/fitter/ladder.py): per-(order, knowns,
+    # weighting) groups ride the fused kernel when the conditioning probe
+    # allows, the rest merges through ONE ladder-routed engine call (ds /
+    # fast / mixed / f64) — the compat layer never falls blindly to
+    # emulated f64.  The ds-grade routing is an explicit documented knob:
+    # wlsqm_tpu.config.set_compat_precision("f64") (or
+    # WLSQM_TPU_NO_KERNEL_COMPAT=1 at process start) restores strict
+    # reference-f64 behavior.
     from wlsqm_tpu import config as _config
 
     strict = _config.compat_precision() == "f64"
@@ -159,70 +160,22 @@ def _fit_many_impl(
 
         from wlsqm_tpu.ops import pallas_fit
 
-        NOmax = defs.number_of_dofs(dimension, int(order.max()))
-        # heterogeneous batches (mixed orders and/or a minority of knowns
-        # cases) delegate to the api layer's group bucketing: TILE-sized
-        # kernel-eligible groups run fused, the rest merges via masked XLA
-        if (not do_sens
-                and jax.default_backend() != "cpu"
-                and K >= (3 * NOmax) // 2
-                and not pallas_fit.supported(dimension, order, knowns,
-                                             weighting_method)
-                and weighting_method.min() == weighting_method.max()
-                and int((knowns == 0).sum()) >= pallas_fit.TILE
-                and pallas_fit.vmem_ok(dimension, int(order.max()), K)):
+        if jax.default_backend() != "cpu" and B >= pallas_fit.TILE:
             from wlsqm_tpu import api
 
+            want_sens = bool(do_sens) and sens is not None
             res = api.fit_many(
                 jnp.asarray(xk_b), jnp.asarray(fk), jnp.asarray(xi_b),
                 nk=jnp.asarray(nk), order=order, knowns=knowns,
                 weighting=weighting_method, fi_init=jnp.asarray(fi_in),
-                max_order=int(order.max()), backend="auto",
-                iterative=bool(iterative), max_iter=int(max_iter))
+                do_sens=want_sens, max_order=int(order.max()),
+                backend="auto", iterative=bool(iterative),
+                max_iter=int(max_iter))
             fi[:, :NO] = np.asarray(res.fi)[:B]
-            return int(np.asarray(res.iterations)[:B].max(initial=0))
-        from wlsqm_tpu.fitter import condprobe
-
-        if (jax.default_backend() != "cpu"
-                and B >= pallas_fit.TILE
-                and K >= (3 * NOmax) // 2   # neighbor margin, see api
-                and (not do_sens or sens is not None)
-                and pallas_fit.supported(dimension, order, knowns,
-                                         weighting_method, K=K,
-                                         do_sens=bool(do_sens))
-                # conditioning probe: route ill-conditioned batches to the
-                # f64 engine so the compat layer stays within its documented
-                # <= 1e-10 auto-routing envelope (condprobe docstring)
-                and condprobe.kernel_accuracy_ok(
-                    xk_b, nk, xi_b, order, weighting_method,
-                    dimension=dimension, knowns=int(knowns.max()))):
-            pad = (-B) % pallas_fit.TILE
-            xk_p = np.concatenate([xk_b, xk_b[:pad]]) if pad else xk_b
-            fk_p = np.concatenate([fk, fk[:pad]]) if pad else fk
-            nk_p = np.concatenate([nk, nk[:pad]]) if pad else nk
-            xi_p = np.concatenate([xi_b, xi_b[:pad]]) if pad else xi_b
-            fi_p = np.concatenate([fi_in, fi_in[:pad]]) if pad else fi_in
-            out = pallas_fit.fit_pallas(
-                jnp.asarray(xk_p), jnp.asarray(fk_p), jnp.asarray(nk_p),
-                jnp.asarray(xi_p), jnp.asarray(fi_p), dimension=dimension,
-                order=int(order.max()),
-                weighting=int(weighting_method.max()),
-                do_sens=bool(do_sens),
-                knowns=int(knowns.max()),
-                max_iter=(int(max_iter) if iterative else 0))
-            if not (iterative or do_sens):
-                out = (out,)
-            fi_dev = out[0]
-            nxt = 1
-            max_it = 0
-            if iterative:
-                max_it = int(np.asarray(out[nxt])[:B].max(initial=0))
-                nxt += 1
-            if do_sens:
+            if want_sens:
                 sens[...] = 0.0
-                sens[:, :K, :NO] = np.asarray(out[nxt])[:B]
-            fi[:, :NO] = np.asarray(fi_dev)[:B]
-            return max_it
+                sens[:, :K, :NO] = np.asarray(res.sens)[:B]
+            return int(np.asarray(res.iterations)[:B].max(initial=0))
 
     # bucket the batch/neighbor axes so organically varying sizes reuse a
     # few compiled programs; padded cases are all-known order-0 no-ops and

@@ -370,6 +370,12 @@ def symmetricfactored(A, ipiv, b):
     """Back-substitute with a dsytrf-factored A (dsytrs); b overwritten."""
     A = np.asarray(A)
     b = np.asarray(b)
+    if np.any(np.asarray(ipiv) >= _MSYM_LU_TAG):
+        raise ValueError(
+            "ipiv carries msymmetricfactor()'s batched-LU format tag; "
+            "slices of a batched symmetric factorization must be "
+            "back-substituted with msymmetricfactored(), not the "
+            "single-matrix dsytrf/dsytrs pair")
     x, info = _lapack.dsytrs(A, np.asarray(ipiv), b.reshape(-1, 1), lower=0)
     if info != 0:
         raise np.linalg.LinAlgError("dsytrs failed with info=%d" % info)
@@ -471,6 +477,15 @@ def msymmetricp(A, b, ntasks):
     msymmetric(A, b)
 
 
+#: pivot-format tag for the batched symmetric factorization.  The pair
+#: produced by :func:`msymmetricfactor` is batched-LU format, NOT the
+#: reference's dsytrf format; its pivots are stored offset by this tag so
+#: that handing a slice of it to the single-matrix ``symmetricfactored``
+#: (legal with the reference's uniform dsytrf format) raises instead of
+#: silently back-substituting garbage.
+_MSYM_LU_TAG = np.int32(1 << 20)
+
+
 def msymmetricfactor(A, ipiv):
     """Batched factor of a symmetric stack; fills A and ipiv (n, nbatch).
 
@@ -478,26 +493,36 @@ def msymmetricfactor(A, ipiv):
     no batched Bunch–Kaufman).  The resulting (A, ipiv) pair is OPAQUE:
     pass it to ``msymmetricfactored(p)`` only — unlike the reference it is
     not interchangeable with the single-matrix dsytrf/dsytrs pair (it is
-    dgetrf/dgetrs-format instead).  Reference:
+    dgetrf/dgetrs-format instead, and its pivots carry a format tag so the
+    mismatch raises rather than corrupting results).  Reference:
     wlsqm/utils/lapackdrivers.pyx:1196-1305.
     """
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
     lu, piv = _batched_lu_factor(_sym_from_upper_stack(A_np))
     A_np[:] = np.moveaxis(lu, 0, 2)
-    ipiv_np[:] = np.asarray(piv, dtype=ipiv_np.dtype).T
+    ipiv_np[:] = (np.asarray(piv, dtype=ipiv_np.dtype)
+                  + ipiv_np.dtype.type(_MSYM_LU_TAG)).T
 
 
 def msymmetricfactored(A, ipiv, b):
     """Batched back-substitution with an msymmetricfactor()-factored stack.
 
     b (n, nbatch) overwritten; one vectorized batched triangular solve.
+    Raises if ``ipiv`` is not in :func:`msymmetricfactor`'s tagged format
+    (e.g. a dsytrf-format pivot array from the single-matrix family).
     """
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
     b_np = np.asarray(b)
+    if not np.all(ipiv_np >= _MSYM_LU_TAG):
+        raise ValueError(
+            "ipiv is not in msymmetricfactor()'s tagged batched-LU format "
+            "(e.g. dsytrf-format pivots from symmetricfactor); the batched "
+            "and single-matrix symmetric factorizations are not "
+            "interchangeable")
     lu = np.moveaxis(A_np, 2, 0)
-    piv = np.ascontiguousarray(ipiv_np.T)
+    piv = np.ascontiguousarray(ipiv_np.T) - _MSYM_LU_TAG
     x = _batched_lu_solve(lu, piv, np.ascontiguousarray(b_np.T)[..., None])
     b_np[:] = x[..., 0].T
 

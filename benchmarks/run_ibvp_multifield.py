@@ -45,7 +45,10 @@ def main():
 
     pts = rng.uniform(0.0, 1.0, (n, 2))
     pts = pts[gth.morton_order(pts)]      # localize neighbor indices
-    xk_idx, _ = neighbors.knn(pts, pts, k + 1, backend="tpu")
+    # host knn: the device brute-force path is fine but the remote
+    # bridge has been observed to stall on its first big compile;
+    # neighbor search is not what this benchmark measures
+    xk_idx, _ = neighbors.knn(pts, pts, k + 1, backend="host")
     xk_idx = np.asarray(xk_idx)[:, 1:]
     xk = jnp.asarray(pts[xk_idx])
     idx = jnp.asarray(xk_idx.astype(np.int32))

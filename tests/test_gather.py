@@ -73,3 +73,44 @@ def test_plan_window_edge_cases():
     u = np.arange(n, dtype=np.float64)
     out = gather.gather_rows(u, idx, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), u[idx])
+
+
+def test_dual_window_seam_crossing():
+    """Blocks mixing two far-apart index clusters (a space-filling-curve
+    seam) are covered by the second DMA window, bit-exactly."""
+    rng = np.random.default_rng(9)
+    n, B, K = 50000, 1024, 16
+    base = rng.integers(0, 400, (B, 1))
+    idx = (base + rng.integers(0, 40, (B, K))).astype(np.int32)
+    # half of each block's cases read from a far cluster
+    far = (45000 + base + rng.integers(0, 40, (B, K))).astype(np.int32)
+    sel = rng.random((B, K)) < 0.5
+    idx = np.where(sel, far, idx)
+    plan = gather.plan_window_gather(idx, n)
+    assert plan is not None and plan.coverage == 1.0
+    u = rng.standard_normal(n)
+    out = gather.gather_rows(u, idx, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), u[idx])
+
+
+def test_overflow_blocks_fall_back_to_xla_rows():
+    """A minority of three-cluster blocks routes through the XLA gather
+    for exactly their rows; the merged result is still bit-exact."""
+    rng = np.random.default_rng(10)
+    n, B, K = 60000, 512, 12
+    base = rng.integers(0, 200, (B, 1))
+    idx = (base + rng.integers(0, 30, (B, K))).astype(np.int32)
+    # every 8th block gets indices from THREE far-apart clusters
+    blk = np.arange(B) // gather.BLOCK_T
+    three = blk % 8 == 0
+    c2 = 30000 + rng.integers(0, 30, (B, K))
+    c3 = 59000 + rng.integers(0, 30, (B, K))
+    pick = rng.integers(0, 3, (B, K))
+    idx = np.where(three[:, None] & (pick == 1), c2, idx)
+    idx = np.where(three[:, None] & (pick == 2), c3, idx)
+    plan = gather.plan_window_gather(idx.astype(np.int32), n)
+    assert plan is not None
+    assert 0 < len(plan.bad_blocks) < plan.nblk
+    u = rng.standard_normal((n, 2))
+    out = gather.gather_rows(u, idx.astype(np.int32), plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), u[idx])

@@ -657,6 +657,22 @@ def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
         raise ValueError("out must have shape (%d, %d)" % (B, NO))
     iters_out = np.zeros((B,), np.int32)
 
+    # plan once, replay per chunk: with a homogeneous scalar config the
+    # routing decision (probe + ladder) is computed on the first chunk and
+    # reused, so the stream neither re-probes every chunk nor flip-flops
+    # routes between chunks of one cloud
+    if (kwargs.get("backend", "auto") == "auto"
+            and "plan" not in kwargs and not per_case
+            and B >= chunk):
+        kwargs["plan"] = plan_fit_many(
+            xk[:chunk], None if xi_np is None else xi_np[:chunk],
+            nk=None if nk_np is None else nk_np[:chunk],
+            order=order, knowns=kwargs.get("knowns", 0),
+            weighting=kwargs.get("weighting", defs.WEIGHT_UNIFORM),
+            do_sens=False, iterative=bool(kwargs.get("iterative", False)),
+            precision=kwargs.get("precision"),
+            refine_steps=kwargs.get("refine_steps"))
+
     def run(lo, hi):
         n = hi - lo
         pad = chunk - n

@@ -28,3 +28,10 @@ examples:
 	python examples/response_surface.py
 	python examples/distributed_pipeline.py
 	python examples/sudoku_lhs.py
+	JAX_NUM_CPU_DEVICES=8 python examples/jit_plan_sharding.py
+
+bench-ladder:                  # precision-ladder accuracy/throughput sweep
+	python benchmarks/run_ladder_sweep.py
+
+bench-ibvp:                    # IBVP stepping incl. the window gather
+	python benchmarks/run_ibvp_multifield.py

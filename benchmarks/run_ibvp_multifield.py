@@ -95,9 +95,12 @@ def main():
         variants.append(("window", make_scan(
             lambda u: gth.gather_rows(u, idx, gplan))))
 
+    # WLSQM_IBVP_QUICK=1 measures only F=1,8 (fewer compiles — the remote
+    # bridge pays tens of seconds per compile on a bad day)
+    Fs = (1, 8) if os.environ.get("WLSQM_IBVP_QUICK") else (1, 2, 4, 8)
     rows = {}
     for name, scan_fn in variants:
-        for F in (1, 2, 4, 8):
+        for F in Fs:
             u0 = jnp.asarray(
                 np.sin(np.pi * pts[:, 0:1] * np.arange(1, F + 1))
                 * np.sin(np.pi * pts[:, 1:2]))       # (n, F)

@@ -338,3 +338,69 @@ def test_iterative_with_sens_matches_basic_sens(rng):
     np.testing.assert_allclose(fi_i, fi_b, atol=1e-12)
     np.testing.assert_allclose(fi_i, np.tile(expected, (ncases, 1)),
                                atol=1e-9)
+
+
+def test_solve_device_matches_solve(rng):
+    """The device-resident extension returns the same DOFs as the NumPy
+    in-place contract (round-3 boundary work)."""
+    import jax.numpy as jnp
+
+    f, expected = quadratic_2d()
+    B, K = 24, 30
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.6, 0.6, (B, K, 2))
+    fk = f(xk)
+    es = _solver_2d(B, K)
+    es.prepare(xi=xi, xk=xk)
+    fi = np.zeros((B, 6))
+    es.solve(fk=fk, fi=fi)
+    fi_d, sens_d, iters_d = es.solve_device(jnp.asarray(fk))
+    # different jit wrappers compile separately; agreement is to rounding
+    np.testing.assert_allclose(np.asarray(fi_d), fi, rtol=0, atol=1e-12)
+    assert sens_d is None
+    assert np.asarray(iters_d).max() == 0
+    # multi-field form reuses the same factorizations
+    fks = jnp.stack([jnp.asarray(fk), 2.0 * jnp.asarray(fk)])
+    fi_m, _, _ = es.solve_device(fks)
+    np.testing.assert_allclose(np.asarray(fi_m[0]), fi, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fi_m[1]), 2.0 * fi, rtol=1e-11,
+                               atol=1e-11)
+
+
+def test_solve_accepts_device_fk(rng):
+    import jax.numpy as jnp
+
+    f, _ = quadratic_2d()
+    B, K = 16, 25
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.5, 0.5, (B, K, 2))
+    fk = f(xk)
+    es = _solver_2d(B, K)
+    es.prepare(xi=xi, xk=xk)
+    fi_np = np.zeros((B, 6))
+    es.solve(fk=fk, fi=fi_np)
+    fi_dev = np.zeros((B, 6))
+    es.solve(fk=jnp.asarray(fk), fi=fi_dev)
+    np.testing.assert_array_equal(fi_np, fi_dev)
+
+
+def test_solve_preserves_inactive_trailing_dofs(rng):
+    """Per-case orders below max: the in/out fi keeps the caller's values
+    on inactive trailing DOFs (reference Case_get_fi copies active DOFs
+    only; round-3 write-back honors that without uploading fi)."""
+    f, _ = quadratic_2d()
+    B, K = 12, 30
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.6, 0.6, (B, K, 2))
+    order = np.full(B, 2, np.int32)
+    order[::2] = 1                      # half the cases are order 1
+    es = wt.ExpertSolver(
+        dimension=2, nk=np.full(B, K, np.int32), order=order,
+        knowns=np.zeros(B, np.int64),
+        weighting_method=np.full(B, wt.WEIGHT_UNIFORM, np.int32))
+    es.prepare(xi=xi, xk=xk)
+    fi = np.full((B, 6), 123.0)
+    es.solve(fk=f(xk), fi=fi)
+    no1 = wt.number_of_dofs(2, 1)
+    assert np.all(fi[::2, no1:] == 123.0)     # untouched trailing DOFs
+    assert np.all(fi[1::2] != 123.0)

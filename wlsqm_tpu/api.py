@@ -233,12 +233,14 @@ def fit_many(
     nk: (B,) valid neighbor counts; defaults to K for every case
     order / knowns / weighting: scalars or (B,) arrays (scalars broadcast)
     fi_init: (B, NO) initial DOF array carrying the known values; zeros if None
-    precision: None (default — the engine path runs "f64", and auto kernel
-        routing stays allowed), "f64" (explicit reference-exact contract:
-        ``backend="auto"`` will never route through the ds kernel), or
-        "mixed"/"fast"/"ds" — see :mod:`wlsqm_tpu.fitter.engine`; the
-        non-f64 modes keep ~1e-12 agreement with the f64 path while
-        avoiding slow emulated-f64 factorization on TPU.
+    precision: None (default — the auto ladder picks the execution
+        precision per batch: kernel/ds where the probe allows, fast/mixed
+        with adapted sweeps otherwise; explicit backend="xla" with
+        precision=None runs "f64"), "f64" (explicit reference-exact
+        contract: ``backend="auto"`` will never route through ds-grade
+        paths), or "mixed"/"fast"/"ds" — honored verbatim, see
+        :mod:`wlsqm_tpu.fitter.engine` (explicit "ds" is guarded by the
+        pair-fidelity canary and raises on degraded backends).
 
     backend: "auto" (default — tiered routing, see
         :mod:`wlsqm_tpu.fitter.ladder`: per-(order, knowns, weighting)

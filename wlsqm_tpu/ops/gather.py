@@ -14,11 +14,24 @@ two index ranges (the local run, plus one far cluster when the block
 straddles a curve seam).  Per block the gather becomes:
 
 1. TWO contiguous DMA windows ``u[s1:s1+W]``, ``u[s2:s2+W]`` (split at
-   the block's largest index gap) from HBM into VMEM, and
-2. a one-hot matmul ``onehot(local_idx) @ windows`` on the MXU —
-   selection by a 0/1 matrix is EXACT in any float precision, so f64
-   payloads ride as THREE f32 planes (24+24+5 mantissa bits cover the
-   53-bit significand) bit-exactly.
+   the block's largest index gap, starts rounded down to the 128-lane
+   alignment Mosaic requires) from HBM into VMEM, and
+2. a one-hot matmul ``windows @ onehot(local_idx)^T`` on the MXU —
+   selection by a 0/1 matrix is EXACT.  Payload encoding depends on what
+   the backend can do exactly:
+
+   * where f64 bitcasts lower (CPU, interpret mode): 16-bit integer
+     chunks lifted to f32 (0..65535 is exact in f32 and in the MXU's
+     highest-precision passes) — ANY bit pattern survives bit-exactly;
+   * on the axon TPU bridge, f64 bitcasts don't lower AND the emulated
+     f64 *arithmetic* itself keeps only ~48 bits (measured: the residual
+     ``u - f64(f32(u))`` loses the sub-2^-48 tail), so f64 payloads ride
+     as a float (hi, lo) pair: fidelity 2^-48 relative — exactly the
+     device's own f64 arithmetic floor, i.e. nothing is lost relative to
+     any other computation on this hardware.  f32 payloads stay exact.
+
+   The planes travel feature-major ``(F2p, n)`` so the window slice runs
+   along the lane dimension.
 
 Blocks whose two windows still overflow (measured ~4% of blocks on a
 20k-point Morton-ordered kNN cloud at T=16, W=1024) fall back to the
@@ -117,74 +130,102 @@ def plan_window_gather(idx, n: int, *, block_t: int = BLOCK_T,
     hi = blocks[:, -1]
     left_span = left_hi - lo
     right_span = hi - right_lo
-    bad = np.maximum(left_span, right_span) >= window
+    # Mosaic requires dynamic lane-dimension slice STARTS aligned to 128:
+    # round starts down, and judge overflow against the FINAL aligned
+    # starts (no separate span heuristic, so alignment/capping slack is
+    # accounted exactly)
+    s1 = ((lo // 128) * 128).astype(np.int64)
+    s2 = ((right_lo // 128) * 128).astype(np.int64)
+    left_ok = left_hi - s1 < window
+    right_ok = hi - s2 < window
+    bad = ~(left_ok & right_ok)
     if bad.mean() > max_bad_frac:
         return None
-    cap = max(n - window, 0)
-    s1 = np.minimum(lo, cap).astype(np.int32)
-    s2 = np.minimum(right_lo, cap).astype(np.int32)
     thr = right_lo.astype(np.int32)        # idx >= thr -> window 2
     # single-cluster blocks: route everything through window 1
-    single = hi - lo < window
+    single = hi - s1 < window
     thr = np.where(single, np.int32(n + window), thr)
     s2 = np.where(single, s1, s2)
-    n_pad = max(n, int(max(s1.max(initial=0), s2.max(initial=0))) + window)
-    meta = np.stack([s1, s2, thr], axis=1).astype(np.int32)
+    n_pad = int(max(n, max(s1.max(initial=0), s2.max(initial=0)) + window))
+    n_pad = -(-n_pad // 128) * 128
+    meta = np.stack([s1.astype(np.int32), s2.astype(np.int32), thr],
+                    axis=1)
     return GatherPlan(meta=tuple(int(v) for v in meta.ravel()),
                       bad_blocks=tuple(int(b) for b in np.nonzero(bad)[0]),
                       nblk=nblk, T=block_t, K=K, n_pad=n_pad, window=window)
 
 
 def _gather_kernel(meta_ref, idx_ref, u_hbm, out_ref, win, sem, *,
-                   window, F2):
+                   window, F2p, TKp):
+    # all index literals must be i32: under jax_enable_x64 a bare python
+    # int lowers to i64, which Mosaic's memref_slice verifier rejects
+    z = np.int32(0)
+    one = np.int32(1)
     b = pl.program_id(0)
-    s1 = meta_ref[b, 0]
-    s2 = meta_ref[b, 1]
-    thr = meta_ref[b, 2]
+    s1 = meta_ref[b, z]
+    s2 = meta_ref[b, one]
+    thr = meta_ref[b, np.int32(2)]
+    # the plan aligns starts to 128 (lane tiling); Mosaic needs the proof
+    s1a = pl.multiple_of(s1, 128)
+    s2a = pl.multiple_of(s2, 128)
     d1 = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(s1, window), :], win.at[pl.ds(0, window), :],
-        sem.at[0])
+        u_hbm.at[:, pl.ds(s1a, window)], win.at[:, pl.ds(z, window)],
+        sem.at[z])
     d2 = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(s2, window), :], win.at[pl.ds(window, window), :],
-        sem.at[1])
+        u_hbm.at[:, pl.ds(s2a, window)],
+        win.at[:, pl.ds(np.int32(window), window)],
+        sem.at[one])
     d1.start()
     d2.start()
-    raw = idx_ref[...]                                    # (TK, 1)
+    raw = idx_ref[...]                                    # (1, TKp)
     loc = jnp.where(raw >= thr, raw - s2 + window, raw - s1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (loc.shape[0], 2 * window), 1)
-    onehot = (loc == col).astype(jnp.float32)             # (TK, 2W)
+    row = jax.lax.broadcasted_iota(jnp.int32, (2 * window, TKp), 0)
+    ohT = (row == loc).astype(jnp.float32)                # (2W, TKp)
     d1.wait()
     d2.wait()
-    out_ref[...] = jnp.dot(onehot, win[...],
-                           preferred_element_type=jnp.float32)
+    # HIGHEST precision: the TPU matmul otherwise runs bf16 passes, which
+    # would truncate the f32 payload planes (selection must be exact)
+    out_ref[...] = jax.lax.dot_general(
+        win[...], ohT, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _tkp(plan: GatherPlan) -> int:
+    """Kernel row count: T*K padded to the 128-lane width."""
+    return -(-plan.T * plan.K // 128) * 128
 
 
 @partial(jax.jit, static_argnames=("plan", "interpret"))
-def _gather_f32(u2, idx_t, plan: GatherPlan, interpret: bool = False):
-    """u2 (n_pad, F2) f32, idx_t (nblk, T*K, 1) int32 -> (nblk, T*K, F2)."""
-    F2 = u2.shape[1]
-    TK = plan.T * plan.K
+def _gather_f32(u2t, idx_t, plan: GatherPlan, interpret: bool = False):
+    """u2t (F2p, n_pad) f32, idx_t (nblk, 1, TKp) int32
+    -> (nblk, F2p, TKp)."""
+    F2p = u2t.shape[0]
+    TKp = _tkp(plan)
     meta = jnp.asarray(
         np.asarray(plan.meta, np.int32).reshape(plan.nblk, 3))
+    # index-map literals must be i32: under jax_enable_x64 a plain 0
+    # lowers to i64, which Mosaic rejects (same pitfall as ops/pallas_fit)
+    z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(plan.nblk,),
         in_specs=[
-            pl.BlockSpec((None, TK, 1), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((None, 1, TKp), lambda b, s: (b, z, z)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((None, TK, F2), lambda b, s: (b, 0, 0)),
+        out_specs=pl.BlockSpec((None, F2p, TKp), lambda b, s: (b, z, z)),
         scratch_shapes=[
-            pltpu.VMEM((2 * plan.window, F2), jnp.float32),
+            pltpu.VMEM((F2p, 2 * plan.window), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        partial(_gather_kernel, window=plan.window, F2=F2),
+        partial(_gather_kernel, window=plan.window, F2p=F2p, TKp=TKp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.nblk, TK, F2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((plan.nblk, F2p, TKp), jnp.float32),
         interpret=interpret,
-    )(meta, idx_t, u2)
+    )(meta, idx_t, u2t)
 
 
 def _prep_idx(idx, plan: GatherPlan):
@@ -193,17 +234,24 @@ def _prep_idx(idx, plan: GatherPlan):
     pad_b = (-B) % plan.T
     if pad_b:
         idx = jnp.concatenate([idx, jnp.repeat(idx[-1:], pad_b, axis=0)])
-    return idx.reshape(plan.nblk, plan.T * K)[..., None]
+    flat = idx.reshape(plan.nblk, plan.T * K)
+    pad_r = _tkp(plan) - plan.T * plan.K
+    if pad_r:
+        # -1 sentinel: matches no window row, so padded columns stay zero
+        flat = jnp.concatenate(
+            [flat, jnp.full((plan.nblk, pad_r), -1, jnp.int32)], axis=1)
+    return flat[:, None, :]
 
 
 def gather_rows(u, idx, plan: GatherPlan, *, interpret: bool = False):
     """``u[idx]`` through the window kernel; u (n, F) or (n,), idx (B, K).
 
-    f64 payloads are carried as three f32 planes (hi, mid, lo; the f64
-    significand needs 53 bits and each one-hot selection is exact), so
-    the result is bit-identical to ``u[idx]``.  Rows of overflow blocks
-    come from the plain XLA gather (statically planned).  Returns the
-    same shape/dtype as ``u[idx]``.
+    Bit-identical to ``u[idx]`` on backends with exact bitcasts (CPU /
+    interpret); on the axon TPU bridge f64 payloads carry 48 bits
+    (~2^-48 relative — the device's own f64 arithmetic floor, see the
+    module docstring) and f32 payloads stay exact.  Rows of overflow
+    blocks come from the plain XLA gather (statically planned).  Returns
+    the same shape/dtype as ``u[idx]``.
     """
     u = jnp.asarray(u)
     idx = jnp.asarray(idx, jnp.int32)
@@ -211,27 +259,64 @@ def gather_rows(u, idx, plan: GatherPlan, *, interpret: bool = False):
     squeeze = u.ndim == 1
     u2d = u[:, None] if squeeze else u
     F = u2d.shape[1]
-    is_f64 = u2d.dtype == jnp.float64
-    if is_f64:
+    n = u2d.shape[0]
+    itemsize = u2d.dtype.itemsize
+    if itemsize not in (4, 8):
+        raise TypeError("gather_rows supports 4- and 8-byte dtypes; got %s"
+                        % (u2d.dtype,))
+    # exact-bit path (CPU/interpret): 16-bit integer chunks as f32 planes.
+    # The axon TPU bridge cannot lower f64 bitcasts, so f64 rides as a
+    # float (hi, lo) pair there (2^-48 fidelity = the device's own f64
+    # arithmetic floor); f32 payloads are exact either way.
+    bit_exact = jax.default_backend() == "cpu" or interpret
+    W = itemsize // 4
+    if bit_exact:
+        words = jax.lax.bitcast_convert_type(u2d, jnp.uint32)
+        if itemsize == 4:
+            words = words[..., None]
+        halves = jnp.stack([words & jnp.uint32(0xFFFF),
+                            words >> jnp.uint32(16)], axis=-1)  # (n,F,W,2)
+        planes = halves.astype(jnp.float32).reshape(n, F * W * 2)
+    elif itemsize == 8:
+        if u2d.dtype != jnp.float64:
+            raise TypeError(
+                "8-byte integer payloads need exact bitcasts, which this "
+                "backend cannot lower; gather on a 4-byte view instead")
         hi = u2d.astype(jnp.float32)
-        r1 = u2d - hi.astype(jnp.float64)
-        mid = r1.astype(jnp.float32)
-        lo = (r1 - mid.astype(jnp.float64)).astype(jnp.float32)
-        planes = jnp.concatenate([hi, mid, lo], axis=1)  # (n, 3F)
+        lo = (u2d - hi.astype(jnp.float64)).astype(jnp.float32)
+        planes = jnp.concatenate([hi, lo], axis=1)              # (n, 2F)
     else:
-        planes = u2d.astype(jnp.float32)
-    pad_n = plan.n_pad - planes.shape[0]
+        if u2d.dtype.kind != "f":
+            raise TypeError(
+                "4-byte integer payloads need exact bitcasts, which this "
+                "backend cannot lower; use a float view")
+        planes = u2d.astype(jnp.float32)                        # (n, F)
+    pad_n = plan.n_pad - n
     if pad_n > 0:
         planes = jnp.concatenate(
             [planes, jnp.zeros((pad_n, planes.shape[1]), jnp.float32)])
-    out = _gather_f32(planes, _prep_idx(idx, plan), plan,
-                      interpret=interpret)                # (nblk, T*K, F2)
-    out = out.reshape(plan.nblk * plan.T, K, -1)[:B]      # drop case padding
-    if is_f64:
-        # hi + (mid + lo): both sums exact in f64 (see plane split above)
+    F2 = planes.shape[1]
+    F2p = -(-F2 // 8) * 8          # sublane-pad the feature-major planes
+    u2t = planes.T
+    if F2p > F2:
+        u2t = jnp.concatenate(
+            [u2t, jnp.zeros((F2p - F2, u2t.shape[1]), jnp.float32)])
+    out = _gather_f32(u2t, _prep_idx(idx, plan), plan,
+                      interpret=interpret)                # (nblk, F2p, TKp)
+    TK = plan.T * plan.K
+    out = out[:, :F2, :TK]                                # strip padding
+    out = jnp.moveaxis(out, 1, 2).reshape(plan.nblk * plan.T, K, F2)[:B]
+    if bit_exact:
+        halves_out = out.reshape(B, K, F, W, 2).astype(jnp.uint32)
+        words_out = (halves_out[..., 0]
+                     | (halves_out[..., 1] << jnp.uint32(16)))
+        if itemsize == 8:
+            res = jax.lax.bitcast_convert_type(words_out, u2d.dtype)
+        else:
+            res = jax.lax.bitcast_convert_type(words_out[..., 0], u2d.dtype)
+    elif itemsize == 8:
         res = (out[..., :F].astype(jnp.float64)
-               + (out[..., F:2 * F].astype(jnp.float64)
-                  + out[..., 2 * F:].astype(jnp.float64)))
+               + out[..., F:].astype(jnp.float64))
     else:
         res = out.astype(u2d.dtype)
     if plan.bad_blocks:

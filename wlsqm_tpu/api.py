@@ -119,7 +119,7 @@ def _run_kernel_group(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
     xk, fk, nk, xi, fi_init = map(cat, (xk, fk, nk, xi, fi_init))
     rs = refine_steps if refine_steps is not None else route.refine_steps
     rkw = {} if rs is None else dict(refine_steps=rs)
-    out = pallas_fit.fit_pallas(
+    out = pallas_fit.fit_pallas_jit(
         xk, fk, nk, xi, fi_init, dimension=dim, order=order,
         weighting=weighting, knowns=knowns, interpret=interpret,
         do_sens=do_sens, max_iter=(max_iter if iterative else 0), **rkw)

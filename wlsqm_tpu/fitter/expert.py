@@ -399,7 +399,7 @@ class ExpertSolver:
                     fi_np[:, :self.NO], dtype=np.float64)), pad)
             if self._kernel_refine_steps is None:
                 self._run_kernel_probe()  # geometry-only, once per prepare
-            out = pallas_fit.fit_pallas(
+            out = pallas_fit.fit_pallas_jit(
                 xk_d, pad_rows(fk_j, pad), nk_d, xi_d, fi_p,
                 dimension=self.dimension,
                 order=int(np.asarray(self.order).max()),

@@ -127,6 +127,20 @@ def test_guest_mode_validates_config(rng):
         _solver_2d(2, 10, order=3, host=host)  # order mismatch
 
 
+def test_scalar_case_params_raise_cleanly():
+    # Per-case arrays are the contract (reference expects (ncases,) arrays);
+    # a scalar must produce a clear ValueError, not an IndexError.
+    nk = np.full(4, 10, dtype=np.int64)
+    with pytest.raises(ValueError, match="order must be a 1D per-case array"):
+        wt.ExpertSolver(dimension=2, nk=nk, order=2,
+                               knowns=np.zeros(4, np.int64),
+                               weighting_method=np.full(4, 1, np.int32))
+    with pytest.raises(ValueError, match="knowns must be a 1D per-case array"):
+        wt.ExpertSolver(dimension=2, nk=nk,
+                               order=np.full(4, 2, np.int32), knowns=0,
+                               weighting_method=np.full(4, 1, np.int32))
+
+
 def test_conds_requires_debug(rng):
     es = _solver_2d(1, 20)
     es.prepare(xi=np.zeros((1, 2)), xk=rng.uniform(-1, 1, (1, 20, 2)))

@@ -75,14 +75,23 @@ def _run_ds_canary() -> bool:
 def ds_backend_ok() -> bool:
     """Whether double-single arithmetic is trustworthy on this backend.
 
-    Runs :func:`_run_ds_canary` once per backend and caches the verdict.
+    TPU backends are trusted without running the canary: pair fidelity
+    there is pinned by the hardware calibration sweeps (the measured
+    kernel/ds error floors match the 2e-15-unit model —
+    benchmarks/README.md), and the canary's two engine compiles cost
+    ~30 s per process on remote bridges.  Everything else (XLA:CPU is
+    the known degrader — see ops/twofloat.py) runs
+    :func:`_run_ds_canary` once per backend and caches the verdict.
     The api layer raises on an explicit ``precision="ds"`` request when
     this is False (override: ``WLSQM_TPU_ALLOW_DEGRADED_DS=1`` downgrades
     to a warning), and the auto ladder skips the ds rung.
     """
     backend = jax.default_backend()
     if backend not in _DS_CANARY:
-        _DS_CANARY[backend] = _run_ds_canary()
+        if backend == "tpu":
+            _DS_CANARY[backend] = True
+        else:
+            _DS_CANARY[backend] = _run_ds_canary()
     return _DS_CANARY[backend]
 
 

@@ -114,6 +114,17 @@ class ExpertSolver:
         knowns = np.asarray(knowns, dtype=np.int64)
         weighting_method = np.asarray(weighting_method, dtype=np.int32)
 
+        # Per-case arrays are the contract (reference:
+        # wlsqm/fitter/expert.pyx:92-103); a scalar here is a usage error —
+        # report it as one instead of an IndexError on .shape[0].
+        for name, arr in (("nk", nk), ("order", order), ("knowns", knowns),
+                          ("weighting_method", weighting_method)):
+            if arr.ndim != 1:
+                raise ValueError(
+                    "%s must be a 1D per-case array of shape (ncases,); got "
+                    "ndim=%d (broadcast scalars with e.g. np.full(ncases, v))"
+                    % (name, arr.ndim))
+
         ncases = nk.shape[0]
         if (order.shape[0] != ncases or knowns.shape[0] != ncases
                 or weighting_method.shape[0] != ncases):

@@ -21,9 +21,11 @@ def _cond_amp(cond, amp=1.0):
 
 class TestChoose:
     def test_well_conditioned_goes_kernel(self):
+        # certified kernel routing prefers the triple-single variant
+        # (gate soundness: run_gate_check.py, 0 violations 2D+3D)
         r = ladder.choose(_cond_amp(1e3))
-        assert r.path == "kernel"
-        assert r.refine_steps in (2, 3, 4)
+        assert r.path == "kernel" and r.kernel_precision == "ts"
+        assert r.refine_steps in (3, 4, 5, 6)
 
     def test_kernel_shape_ineligible_goes_ds_xla(self):
         r = ladder.choose(_cond_amp(1e3), kernel_ok=False)
@@ -39,12 +41,55 @@ class TestChoose:
 
     def test_beyond_parity_floor_keeps_kernel(self):
         # floor = 2e-15 * 1e4 * 1e3 = 2e-8 > BEYOND_PARITY_FLOOR:
-        # conditioning-limited; keep the kernel's speed
+        # conditioning-limited; keep kernel speed, in the accuracy-optimal
+        # triple-single arithmetic at the full sweep count
         r = ladder.choose(_cond_amp(1e4, 1e3))
-        assert r.path == "kernel" and r.refine_steps == 4
+        assert r.path == "kernel" and r.kernel_precision == "ts"
+        assert r.refine_steps == condprobe.TS_REFINE_STEPS_FULL
         # without the kernel: the ds engine (same floor, fastest left)
         r2 = ladder.choose(_cond_amp(1e4, 1e3), kernel_ok=False)
         assert r2 == ladder.Route(path="xla", precision="ds")
+
+    def test_ds_cert_edge(self):
+        # the ds certification gate uses the per-case envelope
+        # DS_CERT_UNIT (run_gate_check.py: the old 2e-15 batch-level gate
+        # admitted cases up to 1.74e-10 in 2D, 2.70e-10 in 3D): edge at
+        # ca = 2e3.  It governs the ts-VMEM-unfit kernel fallback and
+        # the ds XLA rung; ts-fit shapes always prefer ts.
+        edge = condprobe.AUTO_TOL / (condprobe.DS_CERT_UNIT
+                                     * condprobe.SAFETY)
+        assert abs(edge - 2e3) / 2e3 < 0.01
+        r = ladder.choose(_cond_amp(edge * 0.99), ts_kernel_ok=False)
+        assert r.path == "kernel" and r.kernel_precision == "ds"
+        # past the ds edge with no ts planes: the certified fast rung
+        r2 = ladder.choose(_cond_amp(edge * 1.5), ts_kernel_ok=False)
+        assert r2.path == "xla" and r2.precision == "fast"
+
+    def test_middle_band_kernel_shape_goes_ts(self):
+        # floor = 2e-15 * 2e4 = 4e-11 -> x4 safety rejects ds, but the
+        # ts parity floor 7e-16 * 2e4 * 4 = 5.6e-11 clears the bar:
+        # certified f64-grade at kernel speed
+        r = ladder.choose(_cond_amp(2e4, 1.0))
+        assert r.path == "kernel" and r.kernel_precision == "ts"
+        assert r.refine_steps in (3, 4, 5, 6)
+        # the same batch on a kernel-ineligible shape: fast rung
+        r2 = ladder.choose(_cond_amp(2e4, 1.0), kernel_ok=False)
+        assert r2.path == "xla" and r2.precision == "fast"
+
+    def test_ds_xla_rung_within_ds_cert(self):
+        # kernel-ineligible shape inside the ds certification band:
+        # the ds XLA engine serves it
+        r = ladder.choose(_cond_amp(1e3), kernel_ok=False)
+        assert r == ladder.Route(path="xla", precision="ds")
+
+    def test_ts_vmem_ineligible_fallbacks(self):
+        # ts band but the triple planes don't fit VMEM: the certified
+        # choice is the fast rung, not an uncertified ds kernel
+        r = ladder.choose(_cond_amp(2e4, 1.0), ts_kernel_ok=False)
+        assert r.path == "xla" and r.precision == "fast"
+        # conditioning-limited (uncertified anyway): ds kernel keeps speed
+        r2 = ladder.choose(_cond_amp(1e4, 1e3), ts_kernel_ok=False)
+        assert r2 == ladder.Route(path="kernel", refine_steps=4)
 
     def test_fast_sweeps_scale_with_conditioning(self):
         # kernel_ok False keeps the beyond-parity shortcut from firing so

@@ -248,3 +248,62 @@ def test_knowns_elimination(rng):
     fin = np.isfinite(s64)
     assert (np.isfinite(sp) == fin).all()
     assert np.abs(sp[fin] - s64[fin]).max() / np.abs(s64[fin]).max() < 1e-6
+
+
+@pytest.mark.parametrize("order,weighting", [
+    (2, defs.WEIGHT_UNIFORM),
+    (4, defs.WEIGHT_CENTER),
+])
+def test_ts_variant_matches_engine(rng, order, weighting):
+    """precision="ts" (triple-single planes) runs the same pipeline.
+
+    Interpret mode is subject to the XLA-CPU pair degradation (module
+    docstring), so this checks plumbing + f32-grade agreement; the
+    beyond-ds accuracy claim is validated on TPU
+    (benchmarks/run_ladder_sweep.py, docs/kernel.md).
+    """
+    xk, fk, nk, xi = _problem(rng, TILE, K=21)
+    fi_t = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=order,
+                                 weighting=weighting, interpret=True,
+                                 precision="ts"))
+    NO = wt.number_of_dofs(2, order)
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
+        jnp.full((TILE,), order, jnp.int32), jnp.zeros((TILE,), jnp.int64),
+        jnp.full((TILE,), weighting, jnp.int32), dimension=2, NO=NO)
+    rel = np.abs(fi_t - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
+    assert rel < 5e-5, f"rel={rel:.2e}"
+
+
+def test_ts_variant_knowns_and_iterative(rng):
+    """ts plumbing through knowns elimination + ALGO_ITERATIVE."""
+    xk, fk, nk, xi = _problem(rng, TILE, K=14, clustered=True)
+    NO = 6
+    mask = int(defs.b2_F)
+    fi0 = np.zeros((TILE, NO))
+    fi0[:, 0] = np.sin(np.asarray(xi)[:, 0])
+    fi_t, iters = fit_pallas(xk, fk, nk, xi, jnp.asarray(fi0),
+                             dimension=2, order=2,
+                             weighting=defs.WEIGHT_UNIFORM, interpret=True,
+                             knowns=mask, max_iter=3, precision="ts")
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.asarray(fi0),
+        jnp.full((TILE,), 2, jnp.int32), jnp.full((TILE,), mask, jnp.int64),
+        jnp.full((TILE,), defs.WEIGHT_UNIFORM, jnp.int32),
+        dimension=2, NO=NO, iterative=True, max_iter=3)
+    fi_t, f64 = np.asarray(fi_t), np.asarray(f64)
+    np.testing.assert_array_equal(fi_t[:, 0], fi0[:, 0])  # bit-exact knowns
+    rel = np.abs(fi_t - f64).max() / np.abs(f64).max()
+    assert rel < 5e-5
+    assert np.asarray(iters).min() >= 1
+
+
+def test_ts_supported_vmem_accounting():
+    """ts needs 1.5x the plane VMEM; the predicate accounts for it."""
+    from wlsqm_tpu.ops import pallas_fit
+
+    # 3D order-4 K=48 fits ds (recompute variant) and also ts
+    assert pallas_fit.vmem_ok(3, 4, 48, nplanes=2)
+    assert pallas_fit.supported(3, np.full(2, 4), np.zeros(2), np.zeros(2),
+                                K=48, precision="ts") == \
+        pallas_fit.vmem_ok(3, 4, 48, nplanes=3)

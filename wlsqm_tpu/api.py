@@ -60,7 +60,7 @@ class FitPlan:
             extra = r.precision + (
                 "" if r.mixed_steps is None else f"({r.mixed_steps} sweeps)")
         else:
-            extra = f"{r.refine_steps} ds sweeps"
+            extra = f"{r.kernel_precision}, {r.refine_steps} sweeps"
         return f"FitPlan({r.path}: {extra})"
 
 
@@ -122,7 +122,8 @@ def _run_kernel_group(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
     out = pallas_fit.fit_pallas_jit(
         xk, fk, nk, xi, fi_init, dimension=dim, order=order,
         weighting=weighting, knowns=knowns, interpret=interpret,
-        do_sens=do_sens, max_iter=(max_iter if iterative else 0), **rkw)
+        do_sens=do_sens, max_iter=(max_iter if iterative else 0),
+        precision=route.kernel_precision, **rkw)
     if not (iterative or do_sens):
         out = (out,)
     fi = out[0][:B]
@@ -476,7 +477,11 @@ def _auto_dispatch(xk, fk, nk, xi, fi_init, *, dim, B, K, NO, order_a,
         xi_g = xi if whole else xi[sel_j]
         cond_amp = condprobe.probe(xk_g, nk_g, xi_g, o, wm,
                                    dimension=dim, knowns=kn)
-        route = ladder.choose(cond_amp, kernel_ok=True)
+        route = ladder.choose(
+            cond_amp, kernel_ok=True,
+            ts_kernel_ok=pallas_fit.supported(dim, o, kn, wm, K=K,
+                                              do_sens=do_sens,
+                                              precision="ts"))
         if route.path != "kernel":
             continue  # engine rungs handle it in the merged leftover call
         fi0_g = None
@@ -601,8 +606,11 @@ def plan_fit_many(
     from wlsqm_tpu.fitter import engine_ds
 
     cond_amp = condprobe.probe(xk, nk, xi, o, wm, dimension=dim, knowns=kn)
-    route = ladder.choose(cond_amp, kernel_ok=kernel_ok,
-                          ds_xla_ok=engine_ds.ds_backend_ok())
+    route = ladder.choose(
+        cond_amp, kernel_ok=kernel_ok,
+        ds_xla_ok=engine_ds.ds_backend_ok(),
+        ts_kernel_ok=kernel_ok and pallas_fit.supported(
+            dim, o, kn, wm, K=K, do_sens=do_sens, precision="ts"))
     if refine_steps is not None and route.path == "kernel":
         route = dataclasses.replace(route, refine_steps=refine_steps)
     return FitPlan(route=route)

@@ -42,8 +42,22 @@ import numpy as np
 from wlsqm_tpu.fitter import defs, tables
 
 #: double-single effective unit roundoff of the fused kernel's solve
-#: (empirical fit constant, see module docstring)
+#: (empirical fit constant, see module docstring).  This is the CENTRAL
+#: model constant (regime splits, sweep prediction); the certification
+#: gate uses the worst-case per-case envelope :data:`DS_CERT_UNIT`.
 DS_UNIT = 2e-15
+
+#: per-case worst-case envelope unit for the ds CERTIFICATION gate.
+#: The central model holds on batch maxima, but per-case errors scatter
+#: above it: a direct gate-soundness run (benchmarks/run_gate_check.py,
+#: TPU v5e, 14,336 cases, radii 0.03-1.0, both weightings, strong
+#: long-double-refined oracle) found 9 certified cases up to 1.74e-10
+#: under the old 2e-15 gate (edge ca=1.25e4); the empirical worst-err
+#: envelope crosses 1e-10 at ca ~3.7e3.  1.25e-14 places the certified
+#: edge at ca = 2e3, where the worst observed ds error is 1.81e-11
+#: (5.5x headroom).  The (2e3, 3.6e4] band stays kernel-served by the
+#: certified triple-single rung (:data:`TS_PARITY_UNIT`).
+DS_CERT_UNIT = 1.25e-14
 
 #: routing bar: predicted floor above this routes to the f64 engine
 AUTO_TOL = 1e-10
@@ -273,11 +287,66 @@ def probe(xk, nk, xi, order, weighting, *, dimension: int,
 
 
 def accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
-    """Routing gate on a precomputed :func:`probe` result."""
+    """ds-certification gate on a precomputed :func:`probe` result.
+
+    True means EVERY case's double-single kernel/engine error is
+    predicted under ``tol`` by the worst-case per-case envelope
+    (:data:`DS_CERT_UNIT`, pinned by benchmarks/run_gate_check.py).
+    """
     if cond_amp is None:
         return False
     cond, amp = cond_amp
-    return float(DS_UNIT * (cond * amp).max()) * SAFETY <= tol
+    return float(DS_CERT_UNIT * (cond * amp).max()) * SAFETY <= tol
+
+
+#: effective parity unit of the triple-single kernel variant against an
+#: independent f64 oracle: err_max ~= TS_PARITY_UNIT * cond * amp.  TPU
+#: v5e calibration (benchmarks/run_ts_sweep.py, 2D order-4 K=30, radii
+#: 0.03-1.0, both weightings): implied batch-level units 4.8e-17..6.8e-16
+#: — dominated by the f64 ORACLE's own arithmetic (~1.1e-16*cond*amp).
+#: Gate-soundness check (benchmarks/run_gate_check.py, per-case errors vs
+#: a long-double-refined oracle over 14,336 cases): 0 violations among
+#: the 5,918 ts-certified cases, worst certified error 2.08e-11 — 4.8x
+#: headroom at the certified edge ca = 3.6e4, consistent with the
+#: per-case model 7e-16*ca at that edge.
+TS_PARITY_UNIT = 7e-16
+
+#: in-kernel ts sweep count used in the conditioning-limited regime and
+#: as the pick fallback (matches ops/pallas_fit.TS_REFINE_STEPS; the
+#: calibration sweep ran at this setting)
+TS_REFINE_STEPS_FULL = 6
+
+
+def ts_accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
+    """Whether the ts kernel's parity floor clears ``tol`` (middle band).
+
+    The model already measures against an f64 oracle, so "ok" means the
+    result is certified f64-grade: any correct f64 implementation (the
+    reference included) agrees with it to ``tol``.
+    """
+    if cond_amp is None:
+        return False
+    cond, amp = cond_amp
+    return float(TS_PARITY_UNIT * (cond * amp).max()) * SAFETY <= tol
+
+
+def pick_ts_from(cond_amp, tol: float = AUTO_TOL,
+                 candidates=(3, 4, 5, 6)) -> int:
+    """Cheapest ts sweep count with predicted error under ``tol``.
+
+    Same two-regime model as :func:`predicted_error` with the deeper
+    triple floor: the f32 preconditioner contracts by ~F32_UNIT*cond per
+    sweep toward ``TS_PARITY_UNIT * cond * amp``.
+    """
+    if cond_amp is None:
+        return candidates[-1]
+    cond, amp = cond_amp
+    rate = F32_UNIT * cond
+    for n in candidates:
+        pred = np.maximum(TS_PARITY_UNIT * cond, rate ** (n + 1)) * amp
+        if float(pred.max()) * PICK_SAFETY <= tol:
+            return n
+    return candidates[-1]
 
 
 def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
@@ -305,13 +374,18 @@ def predicted_error(cond, amp, refine_steps: int):
 def kernel_accuracy_ok(xk, nk, xi, order, weighting, *, dimension: int,
                        knowns: int = 0, tol: float = AUTO_TOL,
                        sample: int = SAMPLE) -> bool:
-    """Whether auto routing may send this batch to the ds kernel."""
+    """Whether auto routing may send this batch to the fused kernel with
+    a CERTIFIED ≤``tol`` result — in double-single arithmetic (ds gate,
+    :data:`DS_CERT_UNIT`) or, failing that, the triple-single variant
+    (ts gate, :data:`TS_PARITY_UNIT`).  The ladder picks which."""
     try:
-        floor = ds_floor(xk, nk, xi, order, weighting,
-                         dimension=dimension, knowns=knowns, sample=sample)
+        cond_amp = _cond_amp(xk, nk, xi, order, weighting,
+                             dimension=dimension, knowns=knowns,
+                             sample=sample)
     except (ValueError, np.linalg.LinAlgError):
         return False  # degenerate geometry: let the f64 engine handle it
-    return floor * SAFETY <= tol
+    return (accuracy_ok_from(cond_amp, tol=tol)
+            or ts_accuracy_ok_from(cond_amp, tol=tol))
 
 
 #: safety multiplier for the sweep-count choice.  Smaller than the routing

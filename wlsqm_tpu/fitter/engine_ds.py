@@ -85,8 +85,16 @@ def ds_backend_ok() -> bool:
     The api layer raises on an explicit ``precision="ds"`` request when
     this is False (override: ``WLSQM_TPU_ALLOW_DEGRADED_DS=1`` downgrades
     to a warning), and the auto ladder skips the ds rung.
+
+    The platform is read from the actual device list, not
+    ``jax.default_backend()``: the trust shortcut must key on where the
+    pair arithmetic really executes (tests monkeypatch the backend name
+    to exercise kernel routing on CPU, and ds genuinely degrades there).
     """
-    backend = jax.default_backend()
+    try:
+        backend = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no devices initialised
+        backend = jax.default_backend()
     if backend not in _DS_CANARY:
         if backend == "tpu":
             _DS_CANARY[backend] = True

@@ -209,6 +209,7 @@ class ExpertSolver:
         self._fi_internal = None  # last solved coefficients, (ncases, NO)
         self._kernel_geo = None   # padded device geometry for kernel solves
         self._kernel_acc_ok = None  # cached conditioning-probe verdict
+        self._kernel_precision = "ds"  # probe-picked kernel arithmetic
         self._kernel_refine_steps = None  # cached probe-picked sweep count
         self._cond_amp = None     # cached probe sample (cond, amp)
         self._prep_mixed_steps = None  # ladder-picked fast/mixed sweeps
@@ -254,6 +255,7 @@ class ExpertSolver:
         self.xk = xk
         self._kernel_geo = None
         self._kernel_acc_ok = None
+        self._kernel_precision = "ds"
         self._kernel_refine_steps = None
         self._cond_amp = None
         self._fi0_dev = None
@@ -417,6 +419,7 @@ class ExpertSolver:
                 weighting=int(np.asarray(self.weighting_method).max()),
                 do_sens=bool(self.do_sens), knowns=kn,
                 refine_steps=self._kernel_refine_steps,
+                precision=self._kernel_precision,
                 max_iter=(self.max_iter if iterative else 0))
             if not (iterative or self.do_sens):
                 out = (out,)
@@ -544,6 +547,7 @@ class ExpertSolver:
         """One sampled-SVD geometry probe feeding both the routing verdict
         and the sweep-count choice (see wlsqm_tpu.fitter.condprobe)."""
         from wlsqm_tpu.fitter import condprobe
+        from wlsqm_tpu.ops import pallas_fit
 
         xk_b = (np.asarray(self.xk) if self.dimension >= 2
                 else np.asarray(self.xk).reshape(self.ncases, -1, 1))
@@ -554,8 +558,27 @@ class ExpertSolver:
             dimension=self.dimension,
             knowns=int(np.asarray(self.knowns).max()))
         self._cond_amp = cond_amp
-        self._kernel_acc_ok = condprobe.accuracy_ok_from(cond_amp)
-        self._kernel_refine_steps = condprobe.pick_from(cond_amp)
+        ts_fits = pallas_fit.supported(
+            self.dimension, np.asarray(self.order),
+            np.asarray(self.knowns), np.asarray(self.weighting_method),
+            K=int(np.asarray(self.nk).max()),
+            do_sens=bool(self.do_sens), precision="ts")
+        if ts_fits and condprobe.ts_accuracy_ok_from(cond_amp):
+            # certified kernel routing prefers the triple-single variant
+            # (per-case gate soundness: 0 violations, >= 36x headroom —
+            # benchmarks/run_gate_check.py); ds stays for explicit
+            # precision="ds" and ts-VMEM-unfit shapes
+            self._kernel_acc_ok = True
+            self._kernel_precision = "ts"
+            self._kernel_refine_steps = condprobe.pick_ts_from(cond_amp)
+        elif condprobe.accuracy_ok_from(cond_amp):
+            self._kernel_acc_ok = True
+            self._kernel_precision = "ds"
+            self._kernel_refine_steps = condprobe.pick_from(cond_amp)
+        else:
+            self._kernel_acc_ok = False
+            self._kernel_precision = "ds"
+            self._kernel_refine_steps = condprobe.pick_from(cond_amp)
 
     # -- global interpolation ---------------------------------------------
 

@@ -15,34 +15,49 @@ execution path whose predicted error clears the accuracy bar.
 
 Rungs, fastest first:
 
-1. **kernel**: the fused ds kernel, when its converged floor
-   ``DS_UNIT * cond2(A_jacobi) * inv_s**order`` clears the bar.
-2. **ds XLA engine**: same double-single floor, for batches whose *shape*
-   the kernel cannot take (too small to tile, VMEM).
-3. **fast XLA engine, adaptive sweeps**: f32 assembly + f32 Cholesky used
+1. **kernel (ds)**: the fused double-single kernel, when the per-case
+   certification envelope ``DS_CERT_UNIT * cond2(A_jacobi) *
+   inv_s**order`` clears the bar for every case (gate soundness pinned
+   by benchmarks/run_gate_check.py; the central ±4x model ``DS_UNIT``
+   still drives sweep counts and regime splits).
+2. **kernel (ts)**: the same fused kernel in triple-single arithmetic
+   (ops/threefloat.py, ``precision="ts"``) at ~1.5x the ds kernel's
+   runtime.  Its measured error against an independent f64 oracle is
+   ``<= TS_PARITY_UNIT * cond * amp`` with ``TS_PARITY_UNIT ~ 7e-16`` —
+   oracle-arithmetic-limited, i.e. f64-grade or better (TPU sweep,
+   benchmarks/run_ts_sweep.py).  This rung serves the whole middle band
+   at kernel speed (measured 2.28 M fits/s vs the fast rung's 0.04 M on
+   the radius-0.1 rejected config).
+3. **ds XLA engine**: the pair floor for batches whose *shape* the
+   kernel cannot take (too small to tile, VMEM).
+4. **fast XLA engine, adaptive sweeps**: f32 assembly + f32 Cholesky used
    as a *preconditioner*; the refinement residual is evaluated through
    the exact f64 basis rows, so the iteration converges to the TRUE f64
    normal-equations solution at rate ``~F32_UNIT * cond`` per sweep
    (engine PRECISION_FAST).  The ladder picks the sweep count from the
-   probed conditioning.  This is the rung for probe-rejected batches: it
-   pays emulated f64 only in the O(B*K*NO) residual pieces, never in the
-   O(NO^3) factorization or O(K*NO^2) assembly.
-4. **mixed XLA engine, adaptive sweeps**: f64 assembly + f32 factor —
+   probed conditioning.  Kernel-ineligible middle-band batches land
+   here: it pays emulated f64 only in the O(B*K*NO) residual pieces,
+   never in the O(NO^3) factorization or O(K*NO^2) assembly.
+5. **mixed XLA engine, adaptive sweeps**: f64 assembly + f32 factor —
    same convergence law with a cleaner preconditioner; used when the f32
    *assembly* perturbation gets marginal (high cond).
-5. **f64 XLA engine**: bitwise the reference algorithm; the rung of last
+6. **f64 XLA engine**: bitwise the reference algorithm; the rung of last
    resort (cond beyond f32-preconditioner convergence, or degenerate
    geometry the probe cannot assess).
 
-Regime split (hardware-measured, benchmarks/run_ladder_sweep.py): when
-the predicted ds floor exceeds :data:`BEYOND_PARITY_FLOOR`, the problem
-is conditioning-limited — the f64 engine itself differs from an
-independent f64 oracle by the same magnitude as the kernel does (radius
-0.03 order-4: kernel 1.17e-5, f64 engine 1.2e-5, fast 3.8e-6), so no
-algorithm can certify 1e-10 parity and the ladder keeps the fused
-kernel's speed.  In the middle band (floor between the gate and
-BEYOND_PARITY_FLOOR) genuine f64-grade parity is still achievable and
-worth paying for: the fast rung delivers it.
+Regime split (hardware-measured, benchmarks/run_ladder_sweep.py and
+run_ts_sweep.py): when the predicted ds floor exceeds
+:data:`BEYOND_PARITY_FLOOR`, the problem is conditioning-limited — the
+f64 engine itself differs from an independent f64 oracle by the same
+magnitude as the kernel does (radius 0.03 order-4: kernel 1.17e-5, f64
+engine 1.2e-5), so no algorithm can certify 1e-10 parity against an f64
+reference.  Since round 3 the ladder routes this regime to the **ts
+kernel**, whose triple-single arithmetic measures BELOW the f64 engine's
+own error there (radius 0.03: ts 2.8e-7 vs f64 engine 1.2e-5) at ~140x
+its speed — accuracy-optimal AND fast.  In the middle band (floor
+between the gate and BEYOND_PARITY_FLOOR) genuine certified f64-grade
+parity is achievable: the ts kernel delivers it for kernel-eligible
+shapes, the fast rung for the rest.
 
 Measured dead end (TPU v5e, benchmarks/run_ladder_sweep.py, round 3): an
 outer data-space iterative refinement over the *kernel* (f64 residual at
@@ -91,9 +106,11 @@ MAX_SWEEPS = 14
 #: 1.17e-5, f64 engine 1.2e-5, fast rung 3.8e-6 against the same oracle),
 #: i.e. NO pair of correct f64-grade algorithms agrees to 1e-10 there,
 #: the reference included.  Certifiable parity being unattainable, the
-#: ladder takes the fused kernel (~65x the fast rung's speed) and the
-#: docs flag the regime; callers who want the accuracy-optimal answer
-#: regardless of speed pass precision="fast"/"f64" explicitly.
+#: ladder takes the fused kernel in its triple-single variant — measured
+#: MORE accurate than the f64 engine itself in this regime (radius 0.03:
+#: ts 2.8e-7 vs f64 engine 1.2e-5, benchmarks/run_ts_sweep.py) at ~100x
+#: its speed; callers who want the reference's exact f64 algorithm pass
+#: precision="f64" explicitly.
 BEYOND_PARITY_FLOOR = 1e-8
 
 #: ds-floor ceiling for the conditioning-limited kernel shortcut: floors
@@ -107,15 +124,17 @@ KERNEL_MAX_FLOOR = 1e-3
 class Route:
     """A hashable execution-path decision for one batch or bucket.
 
-    path: "kernel" (fused ds kernel) or "xla" (the engine at
-    ``precision``, with ``mixed_steps`` refinement sweeps for the
-    fast/mixed precisions).
+    path: "kernel" (fused kernel, in ``kernel_precision`` arithmetic —
+    "ds" pairs or "ts" triples) or "xla" (the engine at ``precision``,
+    with ``mixed_steps`` refinement sweeps for the fast/mixed
+    precisions).
     """
 
     path: str
-    refine_steps: int | None = None   # in-kernel ds sweeps (kernel path)
+    refine_steps: int | None = None   # in-kernel sweeps (kernel path)
     precision: str = "f64"            # engine precision (xla path)
     mixed_steps: int | None = None    # adaptive fast/mixed sweeps
+    kernel_precision: str = "ds"      # kernel arithmetic (kernel path)
 
 
 def _sweeps(rate: float) -> int:
@@ -125,20 +144,41 @@ def _sweeps(rate: float) -> int:
 
 
 def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
-           kernel_ok: bool = True, ds_xla_ok: bool = True) -> Route:
+           kernel_ok: bool = True, ds_xla_ok: bool = True,
+           ts_kernel_ok: bool | None = None) -> Route:
     """Pick the cheapest route whose predicted error clears ``tol``.
 
     ``cond_amp``: a :func:`wlsqm_tpu.fitter.condprobe.probe` result (may
     be None for degenerate geometry — routes to f64).  ``kernel_ok``:
     batch shape is kernel-eligible; ``ds_xla_ok``: the ds XLA engine is
     trustworthy here (False when the pair-fidelity canary fails — see
-    :func:`wlsqm_tpu.fitter.engine_ds.ds_backend_ok`).
+    :func:`wlsqm_tpu.fitter.engine_ds.ds_backend_ok`);
+    ``ts_kernel_ok``: the triple-single variant's 1.5x plane VMEM also
+    fits (``pallas_fit.supported(..., precision="ts")``) — defaults to
+    ``kernel_ok``.
     """
+    if ts_kernel_ok is None:
+        ts_kernel_ok = kernel_ok
     if cond_amp is None:
         return Route(path="xla", precision="f64")
     cond, amp = cond_amp
-    floor = float(condprobe.DS_UNIT * (cond * amp).max())
-    if floor * condprobe.SAFETY <= tol:
+    ca_max = float((cond * amp).max())
+    floor = condprobe.DS_UNIT * ca_max
+    ds_cert = condprobe.accuracy_ok_from(cond_amp, tol=tol)
+    if ts_kernel_ok and condprobe.ts_accuracy_ok_from(cond_amp, tol=tol):
+        # certified band: ALL certified kernel routing runs the
+        # triple-single variant.  The per-case gate-soundness runs
+        # (benchmarks/run_gate_check.py, 2D and 3D, strong oracle) show
+        # ts with 0 violations and >= 36x headroom, while the ds
+        # envelope is marginal even at its tightened DS_CERT_UNIT edge
+        # (3D K=64: 2.46e-10 at ca = 1.5e3).  Cost: ~0.9x the ds
+        # kernel's throughput — the ds kernel stays available for
+        # explicit precision="ds" and for ts-VMEM-unfit shapes below.
+        return Route(path="kernel", kernel_precision="ts",
+                     refine_steps=condprobe.pick_ts_from(cond_amp, tol=tol))
+    if ds_cert:
+        # ts planes don't fit this shape (or the ladder was told the
+        # kernel is unavailable): fall back per DS_CERT_UNIT
         if kernel_ok:
             return Route(path="kernel",
                          refine_steps=condprobe.pick_from(cond_amp, tol=tol))
@@ -146,10 +186,16 @@ def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
             return Route(path="xla", precision="ds")
     elif BEYOND_PARITY_FLOOR < floor <= KERNEL_MAX_FLOOR:
         # conditioning-limited regime (see BEYOND_PARITY_FLOOR): take the
-        # fastest ds-floor path at the full sweep count.  Near-singular
+        # accuracy-optimal kernel arithmetic at kernel speed — ts beats
+        # even the f64 engine here (run_ts_sweep.py).  Near-singular
         # or degenerate geometry (floor beyond KERNEL_MAX_FLOOR, incl.
         # inf from a singular probe) falls through to the f64 fail-safe.
+        if ts_kernel_ok:
+            return Route(path="kernel", kernel_precision="ts",
+                         refine_steps=condprobe.TS_REFINE_STEPS_FULL)
         if kernel_ok:
+            # ts planes don't fit VMEM for this shape: the ds kernel at
+            # the full sweep count shares the same uncertified floor class
             return Route(path="kernel", refine_steps=4)
         if ds_xla_ok:
             return Route(path="xla", precision="ds")

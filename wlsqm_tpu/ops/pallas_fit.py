@@ -3,9 +3,9 @@
 The XLA engine (wlsqm_tpu.fitter.engine / engine_ds) materializes every
 elementwise intermediate in HBM; at the benchmark configuration that costs
 ~6 GB of traffic per 32k-case chunk and bounds throughput near 1M fits/s.
-This kernel runs the ENTIRE per-case pipeline — double-single basis rows,
-weights, radius prescaling, f32 normal-matrix assembly, Jacobi scaling,
-unrolled Cholesky, and the ds-residual refinement loop — inside one
+This kernel runs the ENTIRE per-case pipeline — extended-precision basis
+rows, weights, radius prescaling, f32 normal-matrix assembly, Jacobi
+scaling, unrolled Cholesky, and the residual refinement loop — inside one
 `pallas_call`, with all per-case state resident in VMEM.  HBM sees only the
 inputs (offsets + data values) and the solved DOFs.
 
@@ -13,6 +13,20 @@ Layout: cases are laid out on the (8, 128) vector tile — a block processes
 TILE = 1024 cases, and every per-case scalar is a full (8, 128) f32 tile, so
 each of the ~3k fused VPU ops works at 100% lane utilization.  Per-(k, j)
 quantities are (K, …, 8, 128) VMEM arrays indexed by `lax.fori_loop`.
+
+Two arithmetic variants share the same kernel body, selected by the static
+``precision`` argument:
+
+* ``"ds"`` — double-single (hi, lo) f32 pairs (:mod:`wlsqm_tpu.ops.twofloat`),
+  ~48 significant bits; error floor ≈ 2e-15·cond₂(A_jacobi)·inv_s^order
+  (the calibrated model in wlsqm_tpu/fitter/condprobe.py).  The default.
+* ``"ts"`` — triple-single (p0, p1, p2) f32 triples
+  (:mod:`wlsqm_tpu.ops.threefloat`), ~72 representable bits at ~2.5x the
+  VPU ops; its deeper floor keeps kernel-speed execution available for the
+  precision ladder's middle band (batches whose ds floor exceeds the 1e-10
+  parity bar but whose conditioning still admits certified f64-grade
+  answers), which previously fell to the XLA engine's materialization-bound
+  fast/mixed rungs at ~0.04-0.06 M fits/s.
 
 Scope: homogeneous batches — one static polynomial order, one knowns
 bitmask (any value; known DOFs are eliminated in-kernel), WEIGHT_UNIFORM
@@ -36,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wlsqm_tpu.fitter import defs, tables
+from wlsqm_tpu.ops import threefloat as tf3
 from wlsqm_tpu.ops import twofloat as tf
 
 # the fused kernel traces a few thousand ops; default CPython recursion
@@ -50,34 +65,52 @@ TILE = TILE_S * TILE_L          # cases per grid step
 # 2 steps vs 3.6e-8 at 4 on a radius-0.57 order-4 K=24 batch); the sweeps
 # are VMEM-resident matvecs, a small fraction of the kernel's runtime.
 DS_REFINE_STEPS = 4
+# the ts floor sits ~2^-12 below ds, so the sweeps must contract further
+TS_REFINE_STEPS = 6
+
+#: number system per kernel precision: (module, planes, default sweeps)
+_NS = {"ds": (tf, 2, DS_REFINE_STEPS), "ts": (tf3, 3, TS_REFINE_STEPS)}
 
 __all__ = ["fit_pallas", "fit_pallas_jit", "supported"]
 
 
+def _const_planes(v: float, nplanes: int):
+    """Exact f32-plane decomposition of a python float (for constants)."""
+    planes = []
+    r = np.float64(v)
+    for _ in range(nplanes):
+        hi = np.float32(r)
+        planes.append(float(hi))
+        r = r - np.float64(hi)
+    return planes
+
+
 def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool,
-                do_sens: bool = False) -> int:
+                do_sens: bool = False, nplanes: int = 2) -> int:
     NO = defs.number_of_dofs(dimension, order)
     tile_bytes = TILE_S * TILE_L * 4
-    # scratch: A (NO,NO) + b pair + w pair (+ stored ds basis when it fits);
-    # the Cholesky factor lives in registers/spills, not a dedicated buffer
-    scratch = (NO * NO + 2 * NO + 2 * K) * tile_bytes
+    # scratch: A (NO,NO) + b planes + w planes (+ stored basis when it
+    # fits); the Cholesky factor lives in registers/spills, not a buffer
+    scratch = (NO * NO + nplanes * NO + nplanes * K) * tile_bytes
     if store_basis:
-        scratch += 2 * K * NO * tile_bytes
-    inputs = (2 * K * dimension + 2 * K + K + 1 + 2 * NO) * tile_bytes
-    outputs = 2 * NO * tile_bytes
+        scratch += nplanes * K * NO * tile_bytes
+    inputs = (nplanes * K * dimension + nplanes * K + K + 1
+              + nplanes * NO + nplanes) * tile_bytes
+    outputs = nplanes * NO * tile_bytes
     if do_sens:
-        outputs += 2 * K * NO * tile_bytes
+        outputs += nplanes * K * NO * tile_bytes
     return scratch + inputs + outputs
 
 
 def _store_basis(dimension: int, order: int, K: int,
-                 do_sens: bool = False) -> bool:
-    """Store the ds basis rows in VMEM (fast matvecs) when they fit."""
-    return _vmem_bytes(dimension, order, K, True, do_sens) < 12 * 1024 * 1024
+                 do_sens: bool = False, nplanes: int = 2) -> bool:
+    """Store the basis-row planes in VMEM (fast matvecs) when they fit."""
+    return _vmem_bytes(dimension, order, K, True, do_sens,
+                       nplanes) < 12 * 1024 * 1024
 
 
 def vmem_ok(dimension: int, order: int, K: int,
-            do_sens: bool = False) -> bool:
+            do_sens: bool = False, nplanes: int = 2) -> bool:
     """Whether the kernel's per-block state fits in VMEM (~16 MB/core).
 
     Two variants: basis rows stored in VMEM scratch (fastest), or
@@ -85,11 +118,12 @@ def vmem_ok(dimension: int, order: int, K: int,
     big 3D order-4 NO=35 systems).  Budgeted against ~12 MB to leave room
     for Mosaic's own buffers.
     """
-    return _vmem_bytes(dimension, order, K, False, do_sens) < 12 * 1024 * 1024
+    return _vmem_bytes(dimension, order, K, False, do_sens,
+                       nplanes) < 12 * 1024 * 1024
 
 
 def supported(dimension: int, order, knowns, weighting, K: int | None = None,
-              do_sens: bool = False) -> bool:
+              do_sens: bool = False, precision: str = "ds") -> bool:
     """Whether the fused kernel covers this configuration.
 
     Homogeneous batches only: one polynomial order, one weighting, and one
@@ -99,6 +133,7 @@ def supported(dimension: int, order, knowns, weighting, K: int | None = None,
     order = np.asarray(order)
     knowns = np.asarray(knowns)
     weighting = np.asarray(weighting)
+    nplanes = _NS[precision][1]
     ok = (
         dimension in (1, 2, 3)
         and order.min() == order.max()
@@ -106,30 +141,30 @@ def supported(dimension: int, order, knowns, weighting, K: int | None = None,
         and weighting.min() == weighting.max()
     )
     if ok and K is not None:
-        ok = vmem_ok(dimension, int(order.max()), K, do_sens)
+        ok = vmem_ok(dimension, int(order.max()), K, do_sens, nplanes)
     return bool(ok)
 
 
-def _basis_cols_ds(delta_cols, exp, invfact_pairs):
-    """Baked ds basis values c_j for one neighbor, from per-axis ds offsets.
+def _basis_cols(ns, delta_cols, exp, invfact_planes):
+    """Baked basis values c_j for one neighbor, from per-axis offsets.
 
-    delta_cols: list of per-axis ds pairs (each an (8,128) tile pair).
-    Returns a list of NO ds pairs.
+    delta_cols: list of per-axis plane tuples (each plane an (8,128) tile).
+    Returns a list of NO plane tuples.
     """
     dim = len(delta_cols)
     max_pow = int(exp.max()) if exp.size else 0
-    # per-axis power ladders (ds)
+    # per-axis power ladders
     ladders = []
     for a in range(dim):
         d = delta_cols[a]
         lad = [None, d]
         if max_pow >= 2:
-            d2 = tf.mul(d, d)
+            d2 = ns.mul(d, d)
             lad.append(d2)
             if max_pow >= 3:
-                lad.append(tf.mul(d2, d))
+                lad.append(ns.mul(d2, d))
                 if max_pow >= 4:
-                    lad.append(tf.mul(d2, d2))
+                    lad.append(ns.mul(d2, d2))
         ladders.append(lad)
     out = []
     for j in range(exp.shape[0]):
@@ -139,35 +174,33 @@ def _basis_cols_ds(delta_cols, exp, invfact_pairs):
             if e == 0:
                 continue
             term = ladders[a][e]
-            val = term if val is None else tf.mul(val, term)
+            val = term if val is None else ns.mul(val, term)
         if val is None:  # constant monomial
             one = jnp.ones_like(delta_cols[0][0])
-            val = (one, jnp.zeros_like(one))
-        hi_c, lo_c = invfact_pairs[j]
-        if not (hi_c == 1.0 and lo_c == 0.0):
-            val = tf.mul(val, (jnp.full_like(val[0], hi_c),
-                               jnp.full_like(val[0], lo_c)))
+            zero = jnp.zeros_like(one)
+            val = (one,) + (zero,) * (len(delta_cols[0]) - 1)
+        cplanes = invfact_planes[j]
+        if cplanes[0] != 1.0 or any(p != 0.0 for p in cplanes[1:]):
+            val = ns.mul(val, tuple(jnp.full_like(val[0], p)
+                                    for p in cplanes))
         out.append(val)
     return out
 
 
-# ds refinement sweeps applied to each sensitivity right-hand side (after
+# refinement sweeps applied to each sensitivity right-hand side (after
 # its direct f32 solve); one sweep reaches ~cond x 1e-13 like the main DOFs
-SENS_SWEEPS = 1
+SENS_SWEEPS = {"ds": 1, "ts": 2}
 
 
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                  refine_steps: int, store_basis: bool, do_sens: bool,
-                 max_iter: int, knowns: int):
+                 max_iter: int, knowns: int, precision: str):
+    ns, NPL, _ = _NS[precision]
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
     deg = tables.DEGREE[dimension][:NO]
     invf = tables.INV_FACT[dimension][:NO]
-    invfact_pairs = []
-    for v in invf:
-        hi = np.float32(v)
-        lo = np.float32(v - np.float64(hi))
-        invfact_pairs.append((float(hi), float(lo)))
+    invfact_planes = [_const_planes(float(v), NPL) for v in invf]
     # static knowns bitmask: the reduced system is just index bookkeeping
     # at trace time (reference eliminates algebraically and remaps indices,
     # wlsqm/fitter/impl.pyx:789-818; here known DOFs get identity rows and
@@ -175,91 +208,112 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
     KN = [j for j in range(NO) if (knowns >> j) & 1]
     kn_slot = {j: i for i, j in enumerate(KN)}
 
-    def kernel(dhi_ref, dlo_ref, fkhi_ref, fklo_ref, kmask_ref, invs_ref,
-               *rest):
+    def take(rest, n):
+        return rest[:n], rest[n:]
+
+    def kernel(*refs):
+        rest = list(refs)
+        d_refs, rest = take(rest, NPL)        # delta planes
+        fk_refs, rest = take(rest, NPL)       # data planes
+        (kmask_ref, invs_ref), rest = take(rest, 2)
         maxd2 = None
         if weighting == defs.WEIGHT_CENTER:
             # the max squared radius arrives precomputed in exact f64 from
             # the host-side XLA preprocessing (it is a byproduct of the
-            # radius-prescale computation there), saving a full K-loop ds
+            # radius-prescale computation there), saving a full K-loop
             # reduction pass in the kernel and matching the f64 engine's
-            # weight normalization to the ds representation floor
-            mdhi_ref, mdlo_ref, *rest = rest
-            maxd2 = (mdhi_ref[...], mdlo_ref[...])
-        gihi_ref = gilo_ref = None
+            # weight normalization to the representation floor
+            md_refs, rest = take(rest, NPL)
+            maxd2 = tuple(r[...] for r in md_refs)
+        gi_refs = None
         if KN:
-            gihi_ref, gilo_ref, *rest = rest
-        xhi_ref, xlo_ref, *rest = rest
+            gi_refs, rest = take(rest, NPL)
+        x_refs, rest = take(rest, NPL)        # DOF outputs
         itr_ref = None
         if max_iter:
-            itr_ref, *rest = rest
+            (itr_ref,), rest = take(rest, 1)
         if do_sens:
-            shi_ref, slo_ref, *rest = rest
-        A_ref, bhi_ref, blo_ref, whi_ref, wlo_ref, *c_refs = rest
-        chi_ref, clo_ref = c_refs if store_basis else (None, None)
+            s_refs, rest = take(rest, NPL)
+        (A_ref,), rest = take(rest, 1)
+        b_refs, rest = take(rest, NPL)
+        w_refs, rest = take(rest, NPL)
+        c_refs = None
+        if store_basis:
+            c_refs, rest = take(rest, NPL)
         zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+
+        def zpad(planes):
+            """Pad a value to the full plane count with zero tiles."""
+            return tuple(planes) + (zero,) * (NPL - len(planes))
+
+        def at(refs_, *idx):
+            """Gather one multi-plane value from a list of plane refs."""
+            return tuple(r[idx] for r in refs_)
+
         inv_s = invs_ref[...]   # exact power of two, computed host-side so
                                 # the f64 de-scaling outside matches exactly
 
-        # ---- assemble A (f32), b (ds) over neighbors ----
+        # ---- assemble A (f32), b (extended) over neighbors ----
         A_ref[...] = jnp.zeros_like(A_ref)
-        bhi_ref[...] = jnp.zeros_like(bhi_ref)
-        blo_ref[...] = jnp.zeros_like(blo_ref)
+        for r in b_refs:
+            r[...] = jnp.zeros_like(r)
 
         def basis_at(k):
-            """Radius-scaled ds basis row for neighbor k (recomputable)."""
+            """Radius-scaled basis row for neighbor k (recomputable)."""
             dcols = []
             for a in range(dimension):
-                d = tf.mul_f32((dhi_ref[k, a], dlo_ref[k, a]), inv_s)
+                d = ns.mul_f32(at(d_refs, k, a), inv_s)
                 dcols.append(d)
-            return dcols, _basis_cols_ds(dcols, exp, invfact_pairs)
+            return dcols, _basis_cols(ns, dcols, exp, invfact_planes)
+
+        if weighting == defs.WEIGHT_CENTER:
+            beta_planes = _const_planes(1.0 - 1e-4, NPL)
+            alpha_planes = _const_planes(1e-4, NPL)
 
         def asm_body(k, _):
             dcols, c = basis_at(k)
-            # weights (ds for parity of the problem definition)
+            # weights (extended precision for parity of the problem
+            # definition with the f64 engine)
             if weighting == defs.WEIGHT_CENTER:
-                d2 = (zero, zero)
+                d2 = zpad(())
                 for d in dcols:
-                    d2 = tf.add(d2, tf.mul(d, d))
-                # d2 is already radius-scaled; max scales to maxd2*inv_s^2
-                ms = (maxd2[0] * (inv_s * inv_s), maxd2[1] * (inv_s * inv_s))
-                ms = (jnp.where(ms[0] > 0, ms[0], 1.0), ms[1])
-                ratio = tf.div(d2, ms)
-                tmp = tf.add_f32(tf.neg(tf.sqrt(ratio)), jnp.float32(1.0))
-                t2 = tf.mul(tmp, tmp)
-                beta_hi = np.float32(1.0 - 1e-4)
-                beta_lo = np.float32((1.0 - 1e-4) - np.float64(beta_hi))
-                alpha_hi = np.float32(1e-4)
-                alpha_lo = np.float32(1e-4 - np.float64(alpha_hi))
-                w = tf.add(tf.mul(t2, (jnp.full_like(zero, beta_hi),
-                                       jnp.full_like(zero, beta_lo))),
-                           (jnp.full_like(zero, alpha_hi),
-                            jnp.full_like(zero, alpha_lo)))
+                    d2 = ns.add(d2, ns.mul(d, d))
+                # d2 is already radius-scaled; max scales by inv_s^2
+                s2 = inv_s * inv_s
+                ms = tuple(p * s2 for p in maxd2)
+                ms = (jnp.where(ms[0] > 0, ms[0], 1.0),) + ms[1:]
+                ratio = ns.div(d2, ms)
+                tmp = ns.add_f32(ns.neg(ns.sqrt(ratio)), jnp.float32(1.0))
+                t2 = ns.mul(tmp, tmp)
+                w = ns.add(
+                    ns.mul(t2, tuple(jnp.full_like(zero, p)
+                                     for p in beta_planes)),
+                    tuple(jnp.full_like(zero, p) for p in alpha_planes))
             else:
-                w = (jnp.ones_like(zero), zero)
+                w = zpad((jnp.ones_like(zero),))
             m = kmask_ref[k]
-            w = (jnp.where(m > 0, w[0], 0.0), jnp.where(m > 0, w[1], 0.0))
-            fkeff = (fkhi_ref[k], fklo_ref[k])
+            w = tuple(jnp.where(m > 0, p, 0.0) for p in w)
+            fkeff = at(fk_refs, k)
             for j in KN:   # algebraic knowns elimination: move to the RHS
-                g = (gihi_ref[kn_slot[j]], gilo_ref[kn_slot[j]])
-                fkeff = tf.sub(fkeff, tf.mul(g, c[j]))
-            wf = tf.mul(w, fkeff)
-            # store c (pair, when VMEM allows) and w for the refinement
-            # matvecs; otherwise the matvec recomputes the basis row
+                g = at(gi_refs, kn_slot[j])
+                fkeff = ns.sub(fkeff, ns.mul(g, c[j]))
+            wf = ns.mul(w, fkeff)
+            # store c and w planes for the refinement matvecs (when VMEM
+            # allows); otherwise the matvec recomputes the basis row
             if store_basis:
                 for j in range(NO):
-                    chi_ref[k, j] = c[j][0]
-                    clo_ref[k, j] = c[j][1]
-            whi_ref[k] = w[0]
-            wlo_ref[k] = w[1]
-            # A += w * c cT (f32); b += w * fk * c (ds)
+                    for p in range(NPL):
+                        c_refs[p][k, j] = c[j][p]
+            for p in range(NPL):
+                w_refs[p][k] = w[p]
+            # A += w * c cT (f32); b += w * fk * c (extended)
             for j in range(NO):
                 wc_hi = w[0] * c[j][0]
                 for mcol in range(j, NO):
                     A_ref[j, mcol] += wc_hi * c[mcol][0]
-                bj = tf.add((bhi_ref[j], blo_ref[j]), tf.mul(wf, c[j]))
-                bhi_ref[j] = bj[0]
-                blo_ref[j] = bj[1]
+                bj = ns.add(at(b_refs, j), ns.mul(wf, c[j]))
+                for p in range(NPL):
+                    b_refs[p][j] = bj[p]
             return jnp.int32(0)
 
         lax.fori_loop(jnp.int32(0), jnp.int32(K), asm_body, jnp.int32(0))
@@ -272,8 +326,8 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 A_ref[j, mcol] = one if mcol == j else zero
             for i in range(j):
                 A_ref[i, j] = zero
-            bhi_ref[j] = zero
-            blo_ref[j] = zero
+            for p in range(NPL):
+                b_refs[p][j] = zero
 
         # ---- Jacobi scale + Cholesky (f32, unrolled) ----
         s = [None] * NO
@@ -318,61 +372,62 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 x[i] = t / L[i][i]
             return x
 
-        # ---- direct solve + ds refinement.  The initial solve is hoisted
-        #      out of the loop: with x = 0 the loop's matvec pass would
-        #      compute A @ 0 — a full K×NO ds sweep of exact zeros — so
+        # ---- direct solve + extended refinement.  The initial solve is
+        #      hoisted out of the loop: with x = 0 the loop's matvec pass
+        #      would compute A @ 0 — a full K×NO sweep of exact zeros — so
         #      hoisting saves one matvec (bit-identical result, ~15% of the
         #      kernel's flops at refine_steps=4).  The RHS uses the same
-        #      ds product as the in-loop sweeps (mul_f32 folds the low
-        #      word into the rounding) to keep the bit-identity exact.
-        bs = [(bhi_ref[j], blo_ref[j]) for j in range(NO)]
+        #      extended product as the in-loop sweeps (mul_f32 folds the
+        #      low words into the rounding) to keep the bit-identity exact.
+        bs = [at(b_refs, j) for j in range(NO)]
         x0 = chol_solve([zero if j in kn_slot
-                         else tf.mul_f32(bs[j], s[j])[0]
+                         else ns.mul_f32(bs[j], s[j])[0]
                          for j in range(NO)])
 
-        # refinement: r = D b - (D A D) x via the stored ds c ----
+        # refinement: r = D b - (D A D) x via the stored basis planes ----
         def refine(_, xs):
-            xs = [(xs[0][j], xs[1][j]) for j in range(NO)]
+            xs = [tuple(xs[p][j] for p in range(NPL)) for j in range(NO)]
             # t_k = sum_j c_kj * (s_j x_j)  -> model residual contraction
-            sx = [tf.mul_f32(xs[j], s[j]) for j in range(NO)]
+            sx = [ns.mul_f32(xs[j], s[j]) for j in range(NO)]
 
             def matvec_body(k, acc):
                 if store_basis:
-                    c = [(chi_ref[k, j], clo_ref[k, j]) for j in range(NO)]
+                    c = [at(c_refs, k, j) for j in range(NO)]
                 else:
                     _, c = basis_at(k)
-                t = (zero, zero)
+                t = zpad(())
                 for j in range(NO):
-                    t = tf.add(t, tf.mul(c[j], sx[j]))
-                t = tf.mul(t, (whi_ref[k], wlo_ref[k]))
+                    t = ns.add(t, ns.mul(c[j], sx[j]))
+                t = ns.mul(t, at(w_refs, k))
                 new = []
                 for j in range(NO):
-                    aj = tf.add((acc[0][j], acc[1][j]), tf.mul(c[j], t))
+                    aj = ns.add(tuple(acc[p][j] for p in range(NPL)),
+                                ns.mul(c[j], t))
                     new.append(aj)
-                return ([a[0] for a in new], [a[1] for a in new])
+                return tuple([a[p] for a in new] for p in range(NPL))
 
-            init = ([zero] * NO, [zero] * NO)
+            init = tuple([zero] * NO for _ in range(NPL))
             ax = lax.fori_loop(jnp.int32(0), jnp.int32(K), matvec_body, init)
             r = []
             for j in range(NO):
                 if j in kn_slot:
-                    r.append((zero, zero))  # identity row: no correction
+                    r.append(zpad(()))  # identity row: no correction
                     continue
-                axj = tf.mul_f32((ax[0][j], ax[1][j]), s[j])
-                bj = tf.mul_f32(bs[j], s[j])
-                r.append(tf.sub(bj, axj))
+                axj = ns.mul_f32(tuple(ax[p][j] for p in range(NPL)), s[j])
+                bj = ns.mul_f32(bs[j], s[j])
+                r.append(ns.sub(bj, axj))
             dx = chol_solve([rj[0] for rj in r])
-            out = [tf.add(xs[j], (dx[j], zero)) for j in range(NO)]
-            return ([o[0] for o in out], [o[1] for o in out])
+            out = [ns.add_f32(xs[j], dx[j]) for j in range(NO)]
+            return tuple([o[p] for o in out] for p in range(NPL))
 
-        xs = (x0, [zero] * NO)
+        xs = (x0,) + tuple([zero] * NO for _ in range(NPL - 1))
         xs = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps),
                            refine, xs)
 
         # fi in the radius-scaled space: x_hat_j = s_j * y_j; known DOFs
         # carry their prescribed (radius-scaled) values through
-        xhat = [(gihi_ref[kn_slot[j]], gilo_ref[kn_slot[j]]) if j in kn_slot
-                else tf.mul_f32((xs[0][j], xs[1][j]), s[j])
+        xhat = [at(gi_refs, kn_slot[j]) if j in kn_slot
+                else ns.mul_f32(tuple(xs[p][j] for p in range(NPL)), s[j])
                 for j in range(NO)]
 
         if max_iter:
@@ -382,41 +437,41 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             #      stagnated cases keep their DOFs and stop counting.
             def crow_it(k):
                 if store_basis:
-                    return [(chi_ref[k, j], clo_ref[k, j]) for j in range(NO)]
+                    return [at(c_refs, k, j) for j in range(NO)]
                 return basis_at(k)[1]
 
             def iter_body(_, st):
-                xh_hi, xh_lo, done, prev, itn = st
-                xh = [(xh_hi[j], xh_lo[j]) for j in range(NO)]
+                xh_pl, done, prev, itn = st[:-3], st[-3], st[-2], st[-1]
+                xh = [tuple(xh_pl[p][j] for p in range(NPL))
+                      for j in range(NO)]
 
-                # carry two uniform lists of f32 tiles (the same carry
+                # carry NPL uniform lists of f32 tiles (the same carry
                 # structure as the refinement matvec, which Mosaic's layout
-                # inference handles); slot NO of the hi list holds the
+                # inference handles); slot NO of the leading list holds the
                 # running l-inf residual norm
                 def k_sweep(k, acc):
-                    bh, bl = acc
                     ck = crow_it(k)
-                    m = (zero, zero)
+                    m = zpad(())
                     for j in range(NO):
-                        m = tf.add(m, tf.mul(ck[j], xh[j]))
-                    r = tf.sub((fkhi_ref[k], fklo_ref[k]), m)
+                        m = ns.add(m, ns.mul(ck[j], xh[j]))
+                    r = ns.sub(at(fk_refs, k), m)
                     valid = kmask_ref[k] > 0
-                    r = (jnp.where(valid, r[0], 0.0),
-                         jnp.where(valid, r[1], 0.0))
-                    wr = tf.mul(r, (whi_ref[k], wlo_ref[k]))
-                    nh, nl = [], []
+                    r = tuple(jnp.where(valid, p, 0.0) for p in r)
+                    wr = ns.mul(r, at(w_refs, k))
+                    np_ = [[] for _ in range(NPL)]
                     for j in range(NO):
-                        bj = tf.add((bh[j], bl[j]), tf.mul(ck[j], wr))
-                        nh.append(bj[0])
-                        nl.append(bj[1])
-                    nh.append(jnp.maximum(bh[NO], jnp.abs(r[0])))
-                    nl.append(bl[NO])
-                    return (nh, nl)
+                        bj = ns.add(tuple(acc[p][j] for p in range(NPL)),
+                                    ns.mul(ck[j], wr))
+                        for p in range(NPL):
+                            np_[p].append(bj[p])
+                    np_[0].append(jnp.maximum(acc[0][NO], jnp.abs(r[0])))
+                    for p in range(1, NPL):
+                        np_[p].append(acc[p][NO])
+                    return tuple(np_)
 
-                bh, bl = lax.fori_loop(
-                    jnp.int32(0), jnp.int32(K), k_sweep,
-                    ([zero] * (NO + 1), [zero] * (NO + 1)))
-                nrm = bh[NO]
+                acc0 = tuple([zero] * (NO + 1) for _ in range(NPL))
+                bpl = lax.fori_loop(jnp.int32(0), jnp.int32(K), k_sweep, acc0)
+                nrm = bpl[0][NO]
                 # done carried as a 0/1 f32 tile (Mosaic handles f32 loop
                 # carries; vector-of-i1 carries can abort the compiler)
                 # .astype keeps the select in f32 — a bare
@@ -429,36 +484,35 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 # dy_j = bh_j != 0 and drift the prescribed coefficients
                 # each iteration (reference updates unknowns only,
                 # wlsqm/fitter/impl.pyx:1076-1078)
-                dy = chol_solve([zero if j in kn_slot else bh[j] * s[j]
+                dy = chol_solve([zero if j in kn_slot else bpl[0][j] * s[j]
                                  for j in range(NO)])
                 upd = done_now == 0.0
-                oh, ol = [], []
+                out = [[] for _ in range(NPL)]
                 for j in range(NO):
                     if j in kn_slot:
-                        oh.append(xh[j][0])
-                        ol.append(xh[j][1])
+                        for p in range(NPL):
+                            out[p].append(xh[j][p])
                         continue
-                    nx = tf.add(xh[j], (jnp.where(upd, dy[j] * s[j], 0.0),
-                                        zero))
-                    oh.append(jnp.where(upd, nx[0], xh[j][0]))
-                    ol.append(jnp.where(upd, nx[1], xh[j][1]))
+                    nx = ns.add_f32(xh[j], jnp.where(upd, dy[j] * s[j], 0.0))
+                    for p in range(NPL):
+                        out[p].append(jnp.where(upd, nx[p], xh[j][p]))
                 itn = itn + upd.astype(jnp.float32)
-                return (oh, ol, done_now, nrm, itn)
+                return tuple(out) + (done_now, nrm, itn)
 
-            st0 = ([p[0] for p in xhat], [p[1] for p in xhat],
-                   zero,
-                   jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zero)
-            oh, ol, _, _, itn = lax.fori_loop(jnp.int32(0),
-                                              jnp.int32(max_iter),
-                                              iter_body, st0)
-            xhat = [(oh[j], ol[j]) for j in range(NO)]
+            st0 = tuple([ph[p] for ph in xhat] for p in range(NPL)) + (
+                zero,
+                jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zero)
+            stN = lax.fori_loop(jnp.int32(0), jnp.int32(max_iter),
+                                iter_body, st0)
+            opl, itn = stN[:-3], stN[-1]
+            xhat = [tuple(opl[p][j] for p in range(NPL)) for j in range(NO)]
             itr_ref[...] = itn
 
         # ---- write out (radius de-scale happens outside, exact powers
         #      of two applied in f64) ----
         for j in range(NO):
-            xhi_ref[j] = xhat[j][0]
-            xlo_ref[j] = xhat[j][1]
+            for p in range(NPL):
+                x_refs[p][j] = xhat[j][p]
 
         if not do_sens:
             return
@@ -466,54 +520,59 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         # ---- sensitivities: one column of A^-1 C^T W per neighbor ----
         # (reference computes these by nk extra back-substitutions on the
         # factored matrix, wlsqm/fitter/impl.pyx:768-846; here each RHS gets
-        # the same solve + ds-residual refinement as the DOFs)
+        # the same solve + residual refinement as the DOFs)
         def crow(k):
             if store_basis:
-                return [(chi_ref[k, j], clo_ref[k, j]) for j in range(NO)]
+                return [at(c_refs, k, j) for j in range(NO)]
             return basis_at(k)[1]
 
         def sens_body(k, _):
             ck = crow(k)
-            wk = (whi_ref[k], wlo_ref[k])
-            bk = [(zero, zero) if j in kn_slot
-                  else tf.mul_f32(tf.mul(wk, ck[j]), s[j])
+            wk = at(w_refs, k)
+            bk = [zpad(()) if j in kn_slot
+                  else ns.mul_f32(ns.mul(wk, ck[j]), s[j])
                   for j in range(NO)]
 
             def srefine(_, ys):
-                ys_p = [(ys[0][j], ys[1][j]) for j in range(NO)]
-                sy = [tf.mul_f32(ys_p[j], s[j]) for j in range(NO)]
+                ys_p = [tuple(ys[p][j] for p in range(NPL))
+                        for j in range(NO)]
+                sy = [ns.mul_f32(ys_p[j], s[j]) for j in range(NO)]
 
                 def mv(k2, acc):
                     c2 = crow(k2)
-                    t = (zero, zero)
+                    t = zpad(())
                     for j in range(NO):
-                        t = tf.add(t, tf.mul(c2[j], sy[j]))
-                    t = tf.mul(t, (whi_ref[k2], wlo_ref[k2]))
-                    new = [tf.add((acc[0][j], acc[1][j]), tf.mul(c2[j], t))
+                        t = ns.add(t, ns.mul(c2[j], sy[j]))
+                    t = ns.mul(t, at(w_refs, k2))
+                    new = [ns.add(tuple(acc[p][j] for p in range(NPL)),
+                                  ns.mul(c2[j], t))
                            for j in range(NO)]
-                    return ([a[0] for a in new], [a[1] for a in new])
+                    return tuple([a[p] for a in new] for p in range(NPL))
 
-                ax = lax.fori_loop(jnp.int32(0), jnp.int32(K), mv,
-                                   ([zero] * NO, [zero] * NO))
+                acc0 = tuple([zero] * NO for _ in range(NPL))
+                ax = lax.fori_loop(jnp.int32(0), jnp.int32(K), mv, acc0)
                 r = []
                 for j in range(NO):
                     if j in kn_slot:
-                        r.append((zero, zero))
+                        r.append(zpad(()))
                         continue
-                    axj = tf.mul_f32((ax[0][j], ax[1][j]), s[j])
-                    r.append(tf.sub(bk[j], axj))
+                    axj = ns.mul_f32(tuple(ax[p][j] for p in range(NPL)),
+                                     s[j])
+                    r.append(ns.sub(bk[j], axj))
                 dy = chol_solve([rj[0] for rj in r])
-                out = [tf.add(ys_p[j], (dy[j], zero)) for j in range(NO)]
-                return ([o[0] for o in out], [o[1] for o in out])
+                out = [ns.add_f32(ys_p[j], dy[j]) for j in range(NO)]
+                return tuple([o[p] for o in out] for p in range(NPL))
 
             # initial solve hoisted (x = 0 matvec is all zeros, see above)
             y0 = chol_solve([bk[j][0] for j in range(NO)])
-            ys = lax.fori_loop(jnp.int32(0), jnp.int32(SENS_SWEEPS),
-                               srefine, (y0, [zero] * NO))
+            ys0 = (y0,) + tuple([zero] * NO for _ in range(NPL - 1))
+            ys = lax.fori_loop(jnp.int32(0),
+                               jnp.int32(SENS_SWEEPS[precision]),
+                               srefine, ys0)
             for j in range(NO):
-                v = tf.mul_f32((ys[0][j], ys[1][j]), s[j])
-                shi_ref[k, j] = v[0]
-                slo_ref[k, j] = v[1]
+                v = ns.mul_f32(tuple(ys[p][j] for p in range(NPL)), s[j])
+                for p in range(NPL):
+                    s_refs[p][k, j] = v[p]
             return jnp.int32(0)
 
         lax.fori_loop(jnp.int32(0), jnp.int32(K), sens_body, jnp.int32(0))
@@ -523,36 +582,41 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
 @partial(jax.jit, static_argnames=("dimension", "order", "weighting",
                                    "refine_steps", "interpret", "do_sens",
-                                   "max_iter", "knowns"))
+                                   "max_iter", "knowns", "precision"))
 def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
-               weighting: int, refine_steps: int = DS_REFINE_STEPS,
+               weighting: int, refine_steps: int | None = None,
                interpret: bool = False, do_sens: bool = False,
-               max_iter: int = 0, knowns: int = 0):
+               max_iter: int = 0, knowns: int = 0, precision: str = "ds"):
     """Fused-kernel fit of a homogeneous batch (see module docstring).
 
     xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
     B must be a multiple of TILE (pad with duplicate cases if needed).
     max_iter > 0 runs ALGO_ITERATIVE corrective refits (the reference's
     exact-stagnation rule) and appends per-case iteration counts.
+    precision: "ds" (double-single pairs, default) or "ts" (triple-single
+    — deeper error floor for probe-rejected middle-band batches).
     Returns fi (B, NO) f64, with iters (B,) i32 appended when max_iter > 0
     and sens (B, K, NO) f64 appended when do_sens — in that order.
     """
+    ns, NPL, default_steps = _NS[precision]
+    if refine_steps is None:
+        refine_steps = default_steps
     B, K, _ = xk.shape
     assert B % TILE == 0, "pad the batch to a multiple of %d" % TILE
     nblk = B // TILE
-    store_basis = _store_basis(dimension, order, K, do_sens)
+    store_basis = _store_basis(dimension, order, K, do_sens, NPL)
     kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
                                    refine_steps, store_basis, do_sens,
-                                   max_iter, knowns)
+                                   max_iter, knowns, precision)
     KN = [j for j in range(NO) if (knowns >> j) & 1]
 
-    # host-side (XLA) preprocessing: ds split + tile layout
+    # host-side (XLA) preprocessing: plane split + tile layout
     delta = xk - xi[:, None, :]
     kmask = (jnp.arange(K)[None, :] < nk[:, None])
     delta = jnp.where(kmask[:, :, None], delta, 0.0)
-    dhi, dlo = tf.from_f64(delta)
+    d_planes = ns.from_f64(delta)
     fkm = jnp.where(kmask, fk, 0.0)
-    fkhi, fklo = tf.from_f64(fkm)
+    fk_planes = ns.from_f64(fkm)
 
     def to_tiles(x):  # (B, K, ...) -> (nblk, K, ..., 8, 128)
         x = jnp.moveaxis(x.reshape(nblk, TILE_S, TILE_L, *x.shape[1:]), (1, 2),
@@ -568,13 +632,13 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     def to_tiles1(x):  # (B,) -> (nblk, 8, 128)
         return x.reshape(nblk, TILE_S, TILE_L)
 
-    args = [to_tiles(dhi), to_tiles(dlo), to_tiles(fkhi), to_tiles(fklo),
-            to_tiles(kmask.astype(jnp.float32)), to_tiles1(inv_s)]
+    args = ([to_tiles(p) for p in d_planes]
+            + [to_tiles(p) for p in fk_planes]
+            + [to_tiles(kmask.astype(jnp.float32)), to_tiles1(inv_s)])
     if weighting == defs.WEIGHT_CENTER:
         # exact-f64 max squared radius for the weight normalization,
         # already computed for the radius prescale above
-        mdhi, mdlo = tf.from_f64(h2)
-        args += [to_tiles1(mdhi), to_tiles1(mdlo)]
+        args += [to_tiles1(p) for p in ns.from_f64(h2)]
     if KN:
         # prescribed known DOF values, moved to the radius-scaled space with
         # the exact power-of-two factor (fi = x_hat * 2^(-e*deg))
@@ -583,8 +647,7 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
         degs = jnp.asarray(deg, jnp.float64)[None, :]
         gihat = gi[:, KN] * jnp.exp2(e_s.astype(jnp.float64)[:, None]
                                      * degs[:, KN])
-        ghi, glo = tf.from_f64(gihat)
-        args += [to_tiles(ghi), to_tiles(glo)]
+        args += [to_tiles(p) for p in ns.from_f64(gihat)]
     args = tuple(args)
 
     grid = (nblk,)
@@ -606,14 +669,10 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
             in_specs.append(pl.BlockSpec(
                 (None, TILE_S, TILE_L), lambda i: (i, z, z)))
 
-    out_shape = [
-        jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
-        jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
-        pl.BlockSpec((None, NO, TILE_S, TILE_L), lambda i: (i, z, z, z)),
-    ]
+    out_shape = [jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32)
+                 for _ in range(NPL)]
+    out_specs = [pl.BlockSpec((None, NO, TILE_S, TILE_L),
+                              lambda i: (i, z, z, z)) for _ in range(NPL)]
     if max_iter:
         out_shape += [
             jax.ShapeDtypeStruct((nblk, TILE_S, TILE_L), jnp.float32)]
@@ -621,29 +680,21 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
             pl.BlockSpec((None, TILE_S, TILE_L), lambda i: (i, z, z))]
     if do_sens:
         out_shape += [
-            jax.ShapeDtypeStruct((nblk, K, NO, TILE_S, TILE_L), jnp.float32),
-            jax.ShapeDtypeStruct((nblk, K, NO, TILE_S, TILE_L), jnp.float32),
-        ]
+            jax.ShapeDtypeStruct((nblk, K, NO, TILE_S, TILE_L), jnp.float32)
+            for _ in range(NPL)]
         out_specs += [
             pl.BlockSpec((None, K, NO, TILE_S, TILE_L),
-                         lambda i: (i, z, z, z, z)),
-            pl.BlockSpec((None, K, NO, TILE_S, TILE_L),
-                         lambda i: (i, z, z, z, z)),
-        ]
+                         lambda i: (i, z, z, z, z)) for _ in range(NPL)]
     out_shape = tuple(out_shape)
     out_specs = tuple(out_specs)
-    scratch = [
-        pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32),   # A
-        pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32),       # b hi
-        pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32),       # b lo
-        pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32),        # w hi
-        pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32),        # w lo
-    ]
+    scratch = [pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32)]      # A
+    scratch += [pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32)          # b
+                for _ in range(NPL)]
+    scratch += [pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32)           # w
+                for _ in range(NPL)]
     if store_basis:
-        scratch += [
-            pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),  # c hi
-            pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32),  # c lo
-        ]
+        scratch += [pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32)   # c
+                    for _ in range(NPL)]
 
     outs = pl.pallas_call(
         kernel,
@@ -654,32 +705,31 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
-    xhi_t, xlo_t = outs[0], outs[1]
 
     # back to (B, ...), f64, and undo the radius prescale exactly
     def from_tiles(x):  # (nblk, ..., 8, 128) -> (B, ...)
         mid = x.shape[1:-2]
         return jnp.moveaxis(x, (-2, -1), (1, 2)).reshape((B,) + mid)
 
-    fi_scaled = (from_tiles(xhi_t).astype(jnp.float64)
-                 + from_tiles(xlo_t).astype(jnp.float64))
+    fi_scaled = sum(from_tiles(outs[p]).astype(jnp.float64)
+                    for p in range(NPL))
     dof_scale = jnp.exp2(-e_s.astype(jnp.float64)[:, None]
                          * jnp.asarray(deg, jnp.float64)[None, :])
     fi = fi_scaled * dof_scale
     if KN:
-        # the ds pair only carries ~48 bits; restore the prescribed values
-        # bit-exactly (the engine copies them through untouched)
+        # the planes carry finitely many bits; restore the prescribed
+        # values bit-exactly (the engine copies them through untouched)
         src = (jnp.zeros((B, NO), jnp.float64) if fi_init is None
                else jnp.asarray(fi_init, jnp.float64))
         fi = fi.at[:, jnp.asarray(KN)].set(src[:, jnp.asarray(KN)])
     res = [fi]
-    nxt = 2
+    nxt = NPL
     if max_iter:
         res.append(from_tiles(outs[nxt]).astype(jnp.int32))
         nxt += 1
     if do_sens:
-        sens = (from_tiles(outs[nxt]).astype(jnp.float64)
-                + from_tiles(outs[nxt + 1]).astype(jnp.float64))  # (B, K, NO)
+        sens = sum(from_tiles(outs[nxt + p]).astype(jnp.float64)
+                   for p in range(NPL))           # (B, K, NO)
         sens = sens * dof_scale[:, None, :]
         if KN:
             # NaN for known DOFs (reference: wlsqm/fitter/impl.pyx:775-779)
@@ -696,7 +746,7 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
 _JIT_CACHE = {}
 
 _STATIC = ("dimension", "order", "weighting", "refine_steps", "interpret",
-           "do_sens", "max_iter", "knowns")
+           "do_sens", "max_iter", "knowns", "precision")
 
 
 def fit_pallas_jit(*args, **kwargs):

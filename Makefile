@@ -29,6 +29,7 @@ examples:
 	python examples/distributed_pipeline.py
 	python examples/sudoku_lhs.py
 	JAX_NUM_CPU_DEVICES=8 python examples/jit_plan_sharding.py
+	python examples/gradient_stencil_design.py
 
 bench-ladder:                  # precision-ladder accuracy/throughput sweep
 	python benchmarks/run_ladder_sweep.py

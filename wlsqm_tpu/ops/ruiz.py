@@ -90,7 +90,15 @@ def ruiz_scale(A: jax.Array, max_iter: int = RUIZ_MAX_ITER, eps: float = RUIZ_EP
         jnp.zeros_like(ones_n[..., 0], dtype=jnp.int32),
     )
     _, _, _, _, row_scale, col_scale, iters = lax.while_loop(cond, body, init)
-    return row_scale, col_scale, iters
+    # The scaling is a pure preconditioner: the downstream solve
+    # row-scales the RHS and col-unscales the solution, so the fit result
+    # is EXACTLY invariant to the returned factors (C (RAC)^-1 R b =
+    # A^-1 b for any diagonal R, C) and the true Jacobian through them is
+    # zero.  Stopping gradients here is therefore exact, and it makes the
+    # equilibration loop transparent to reverse-mode AD (lax.while_loop
+    # has no transpose rule) — jax.grad/jacrev through the fit w.r.t. the
+    # geometry works; see tests/test_autodiff.py.
+    return lax.stop_gradient(row_scale), lax.stop_gradient(col_scale), iters
 
 
 def apply_scaling(A: jax.Array, row_scale: jax.Array, col_scale: jax.Array) -> jax.Array:
@@ -113,4 +121,7 @@ def jacobi_scale(A: jax.Array):
     d = jnp.diagonal(A, axis1=-2, axis2=-1)
     s = jnp.where(d > 0, 1.0 / jnp.sqrt(jnp.where(d > 0, d, 1.0)), 1.0)
     iters = jnp.ones_like(s[..., 0], dtype=jnp.int32)
-    return s, s, iters
+    # exact-zero true Jacobian, same argument as in ruiz_scale: the fit
+    # result is invariant to the preconditioner, so stop gradients rather
+    # than backpropagating rounding-level noise terms through the scaling
+    return lax.stop_gradient(s), lax.stop_gradient(s), iters

@@ -166,6 +166,62 @@ def test_jacfwd_iterative_forward_mode(rng):
     assert float(jnp.abs(Ji - Jb).max()) < 1e-9
 
 
+def test_fixed_trip_iterative_matches_while_loop(rng):
+    """fixed_trip=True (lax.scan form) is bit-identical to the
+    while_loop form — DOFs and iteration counts — on noisy data where
+    refinement actually takes corrective steps."""
+    B, K = 8, 24
+    xk, fk = _batch(rng, B, K)
+    fk = fk + 1e-3 * jnp.asarray(rng.standard_normal(fk.shape))
+    a = _engine_args(B, K, order=4)
+
+    fi_w, _, it_w, _ = _fit(xk, fk, a, precision="f64",
+                            iterative=True, max_iter=5)
+    fi_s, _, it_s, _ = _fit(xk, fk, a, precision="f64",
+                            iterative=True, max_iter=5, fixed_trip=True)
+    assert float(jnp.abs(fi_w - fi_s).max()) == 0.0
+    assert bool((it_w == it_s).all())
+    assert int(it_w.max()) >= 1  # refinement actually ran
+
+
+def test_fixed_trip_iterative_matches_while_loop_ds(rng):
+    """The ds engine's fixed_trip form is also bit-identical to its
+    while_loop form (pair arithmetic identical either way)."""
+    B, K = 8, 24
+    xk, fk = _batch(rng, B, K)
+    fk = fk + 1e-3 * jnp.asarray(rng.standard_normal(fk.shape))
+    a = _engine_args(B, K, order=2)
+
+    fi_w, _, it_w, _ = _fit(xk, fk, a, precision="ds",
+                            iterative=True, max_iter=4)
+    fi_s, _, it_s, _ = _fit(xk, fk, a, precision="ds",
+                            iterative=True, max_iter=4, fixed_trip=True)
+    assert float(jnp.abs(fi_w - fi_s).max()) == 0.0
+    assert bool((it_w == it_s).all())
+
+
+def test_jacrev_iterative_fixed_trip(rng):
+    """Reverse mode through ALGO_ITERATIVE via fixed_trip: the gradient
+    is finite and matches central finite differences on noisy data."""
+    B, K = 3, 24
+    xk, fk = _batch(rng, B, K)
+    fk = fk + 1e-3 * jnp.asarray(rng.standard_normal(fk.shape))
+    a = _engine_args(B, K, order=3)
+
+    def loss(f):
+        fi = _fit(xk, f, a, precision="f64", iterative=True,
+                  max_iter=3, fixed_trip=True)[0]
+        return (fi ** 2).sum()
+
+    g = jax.grad(loss)(fk)
+    assert bool(jnp.isfinite(g).all())
+    eps = 1e-6
+    pert = np.zeros(fk.shape)
+    pert[1, 7] = eps
+    fd = (loss(fk + pert) - loss(fk - pert)) / (2 * eps)
+    assert abs(float(g[1, 7]) - float(fd)) <= 1e-6 * max(abs(float(fd)), 1.0)
+
+
 def test_grad_fast_precision_close_to_f64(rng):
     """The fast (f32-preconditioned, f64-residual) rung is differentiable
     and its gradients agree with f64 to the refinement tolerance."""

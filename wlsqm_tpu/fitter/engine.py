@@ -541,6 +541,7 @@ def solve_iterative_prepared(
     max_iter: int,
     do_sens: bool = False,
     mixed_steps: int | None = None,
+    fixed_trip: bool = False,
 ):
     """Fit with iterative refinement (ALGO_ITERATIVE).
 
@@ -551,23 +552,25 @@ def solve_iterative_prepared(
     stagnation (norm == previous norm) or after ``max_iter`` corrective fits.
     Sensitivities come from the initial solve only, as in the reference.
 
+    ``fixed_trip=True`` runs the same body as a fixed-length ``lax.scan``
+    over ``max_iter`` trips instead of an early-exiting ``while_loop``:
+    stagnated cases are masked (bit-identical results, identical iteration
+    counts), trips past all-stagnation are no-ops.  The scan form is
+    reverse-mode differentiable (``while_loop`` has no transpose rule), at
+    the cost of always paying for ``max_iter`` trips.
+
     Returns (fi_out, sens, iterations) with per-case iteration counts.
     """
     if prep.precision == PRECISION_DS:
         from wlsqm_tpu.fitter import engine_ds
 
         return engine_ds.solve_iterative_prepared_ds(
-            prep, fk, fi, max_iter, do_sens)
+            prep, fk, fi, max_iter, do_sens, fixed_trip=fixed_trip)
     fi1, sens = solve_prepared(prep, fk, fi, do_sens, mixed_steps)
     dtype = fk.dtype
     kmask = prep.w > 0
 
-    def cond(state):
-        i, done, *_ = state
-        return jnp.logical_and(i < max_iter, jnp.logical_not(done.all()))
-
-    def body(state):
-        i, done, fi_cur, prev_norm, iters = state
+    def body_core(done, fi_cur, prev_norm, iters):
         coeffs = jnp.where(prep.active, fi_cur, 0.0)
         if prep.dof_scale is not None:
             coeffs = (coeffs / prep.dof_scale).astype(dtype)
@@ -586,18 +589,34 @@ def solve_iterative_prepared(
         fi_new = jnp.where(prep.unknown, fi_cur + corr, fi_cur)
         fi_next = jnp.where(done_now[:, None], fi_cur, fi_new)
         iters = iters + jnp.logical_not(done_now).astype(jnp.int32)
-        return (i + 1, done_now, fi_next, norm, iters)
+        return (done_now, fi_next, norm, iters)
 
     # carries derived from fk (zeros_like/full_like) so they inherit sharding
     # metadata under shard_map
-    init = (
-        jnp.array(0, jnp.int32),
+    init_core = (
         jnp.zeros_like(fk[:, 0], dtype=bool),
         fi1,
         jnp.full_like(fk[:, 0], -1.0),  # invalid prev norm, as in the reference
         jnp.zeros_like(fk[:, 0], dtype=jnp.int32),
     )
-    _, _, fi_out, _, iters = lax.while_loop(cond, body, init)
+    if fixed_trip:
+        def scan_body(state, _):
+            return body_core(*state), None
+
+        (_, fi_out, _, iters), _ = lax.scan(
+            scan_body, init_core, None, length=max_iter)
+        return fi_out, sens, iters
+
+    def cond(state):
+        i, done, *_ = state
+        return jnp.logical_and(i < max_iter, jnp.logical_not(done.all()))
+
+    def body(state):
+        i = state[0]
+        return (i + 1,) + body_core(*state[1:])
+
+    _, _, fi_out, _, iters = lax.while_loop(
+        cond, body, (jnp.array(0, jnp.int32),) + init_core)
     return fi_out, sens, iters
 
 
@@ -620,6 +639,7 @@ def solve_iterative_prepared(
         "precision",
         "scaling",
         "mixed_steps",
+        "fixed_trip",
     ),
 )
 def fit_batch(
@@ -644,6 +664,7 @@ def fit_batch(
     precision: str = PRECISION_F64,
     scaling: str = "ruiz",
     mixed_steps: int | None = None,
+    fixed_trip: bool = False,
 ):
     """Fit a batch of local models end to end.
 
@@ -651,7 +672,9 @@ def fit_batch(
     compiled equivalent of the reference's
     ``generic_fit_{basic,iterative}_many_parallel`` call stacks
     (reference: wlsqm/fitter/simple.pyx:953-1171) — the OpenMP prange becomes
-    the batch axis.  See :func:`prepare` for ``ruiz_*`` and ``precision``.
+    the batch axis.  See :func:`prepare` for ``ruiz_*`` and ``precision``;
+    ``fixed_trip=True`` makes ALGO_ITERATIVE reverse-mode differentiable
+    (see :func:`solve_iterative_prepared`).
     """
     prep = prepare(
         xk, nk, xi, order, knowns, weighting,
@@ -661,7 +684,8 @@ def fit_batch(
     )
     if iterative:
         fi_out, sens, iters = solve_iterative_prepared(
-            prep, fk, fi, max_iter, do_sens, mixed_steps
+            prep, fk, fi, max_iter, do_sens, mixed_steps,
+            fixed_trip=fixed_trip,
         )
     else:
         fi_out, sens = solve_prepared(prep, fk, fi, do_sens, mixed_steps)

@@ -348,12 +348,15 @@ def solve_prepared_ds(prep, fk, fi, do_sens):
     return fi_out, sens
 
 
-def solve_iterative_prepared_ds(prep, fk, fi, max_iter, do_sens):
+def solve_iterative_prepared_ds(prep, fk, fi, max_iter, do_sens,
+                                fixed_trip=False):
     """ds-mode iterative refinement (ALGO_ITERATIVE semantics).
 
     Stagnation on exact equality of the l∞ residual norm, as in the
     reference (reference: wlsqm/fitter/impl.pyx:1026-1083); norms are the
-    f64 renderings of the ds residuals.
+    f64 renderings of the ds residuals.  ``fixed_trip=True`` runs the same
+    body as a fixed-length ``lax.scan`` (bit-identical; reverse-mode
+    capable) instead of the early-exiting ``while_loop``.
     """
     from jax import lax
 
@@ -361,12 +364,7 @@ def solve_iterative_prepared_ds(prep, fk, fi, max_iter, do_sens):
     kmask = prep.w > 0
     fk_ds = tf.from_f64(jnp.where(kmask, fk, 0.0))
 
-    def cond(state):
-        i, done, *_ = state
-        return jnp.logical_and(i < max_iter, jnp.logical_not(done.all()))
-
-    def body(state):
-        i, done, fi_cur, prev_norm, iters = state
+    def body_core(done, fi_cur, prev_norm, iters):
         fi_ds = tf.from_f64(
             jnp.where(prep.active, fi_cur, 0.0) / prep.dof_scale)
         model = model_eval_ds(prep, fi_ds)
@@ -382,14 +380,30 @@ def solve_iterative_prepared_ds(prep, fk, fi, max_iter, do_sens):
         fi_new = jnp.where(prep.unknown, fi_cur + corr, fi_cur)
         fi_next = jnp.where(done_now[:, None], fi_cur, fi_new)
         iters = iters + jnp.logical_not(done_now).astype(jnp.int32)
-        return (i + 1, done_now, fi_next, norm, iters)
+        return (done_now, fi_next, norm, iters)
 
-    init = (
-        jnp.array(0, jnp.int32),
+    init_core = (
         jnp.zeros_like(fk[:, 0], dtype=bool),
         fi1,
         jnp.full_like(fk[:, 0], -1.0),
         jnp.zeros_like(fk[:, 0], dtype=jnp.int32),
     )
-    _, _, fi_out, _, iters = lax.while_loop(cond, body, init)
+    if fixed_trip:
+        def scan_body(state, _):
+            return body_core(*state), None
+
+        (_, fi_out, _, iters), _ = lax.scan(
+            scan_body, init_core, None, length=max_iter)
+        return fi_out, sens, iters
+
+    def cond(state):
+        i, done, *_ = state
+        return jnp.logical_and(i < max_iter, jnp.logical_not(done.all()))
+
+    def body(state):
+        i = state[0]
+        return (i + 1,) + body_core(*state[1:])
+
+    _, _, fi_out, _, iters = lax.while_loop(
+        cond, body, (jnp.array(0, jnp.int32),) + init_core)
     return fi_out, sens, iters

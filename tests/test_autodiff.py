@@ -313,6 +313,71 @@ def test_adjoint_through_time_stepping(rng):
     assert abs(float(g[17]) - float(fd)) < 1e-5 * max(abs(float(fd)), 1.0)
 
 
+def test_kernel_adjoint_matches_engine_grad(rng):
+    """fit_pallas_diffable: reverse mode through the fused kernel (via
+    its sensitivity-array VJP) matches the engine gradient to kernel
+    (interpret-mode f32) precision, and geometry gradients are exactly
+    stopped."""
+    from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas_diffable
+
+    B, K = TILE, 16
+    xk, fk = _batch(rng, B, K)
+    nk = jnp.full((B,), K, jnp.int32)
+    xi = jnp.zeros((B, 2))
+
+    def loss_kernel(xk_, f):
+        fi = fit_pallas_diffable(xk_, f, nk, xi, dimension=2, order=2,
+                                 weighting=defs.WEIGHT_UNIFORM,
+                                 interpret=True)
+        return (fi ** 2).sum()
+
+    a = _engine_args(B, K, order=2, weighting=defs.WEIGHT_UNIFORM)
+
+    def loss_engine(f):
+        return (_fit(xk, f, a, precision="f64")[0][:, :6] ** 2).sum()
+
+    gk_fk, gk_xk = jax.grad(loss_kernel, argnums=(1, 0))(xk, fk)
+    ge = jax.grad(loss_engine)(fk)
+    scale = float(jnp.abs(ge).max())
+    assert float(jnp.abs(gk_fk - ge).max()) < 5e-5 * scale
+    assert float(jnp.abs(gk_xk).max()) == 0.0  # stopped, exact zeros
+
+
+def test_kernel_adjoint_with_knowns(rng):
+    """Known DOFs are constants under the kernel VJP: the NaN sens rows
+    contribute exactly zero data gradient, unknown-DOF grads match the
+    engine."""
+    from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas_diffable
+
+    B, K = TILE, 16
+    xk, fk = _batch(rng, B, K)
+    nk = jnp.full((B,), K, jnp.int32)
+    xi = jnp.zeros((B, 2))
+    kn = int(defs.b2_F)
+    gi = jnp.zeros((B, defs.number_of_dofs(2, 2))).at[:, defs.i2_F].set(0.3)
+
+    def loss_kernel(f):
+        fi = fit_pallas_diffable(xk, f, nk, xi, gi, dimension=2, order=2,
+                                 weighting=defs.WEIGHT_UNIFORM,
+                                 knowns=kn, interpret=True)
+        return (fi ** 2).sum()
+
+    a = _engine_args(B, K, order=2, knowns=kn,
+                     weighting=defs.WEIGHT_UNIFORM)
+    NO2 = defs.number_of_dofs(2, 2)
+    gi_full = a["fi0"].at[:, defs.i2_F].set(0.3)
+    a = dict(a, fi0=gi_full)
+
+    def loss_engine(f):
+        return (_fit(xk, f, a, precision="f64")[0][:, :NO2] ** 2).sum()
+
+    gk = jax.grad(loss_kernel)(fk)
+    ge = jax.grad(loss_engine)(fk)
+    assert bool(jnp.isfinite(gk).all())  # NaN rows zeroed, not propagated
+    scale = float(jnp.abs(ge).max())
+    assert float(jnp.abs(gk - ge).max()) < 5e-5 * scale
+
+
 def test_grad_composes_with_jit_and_vmap(rng):
     """grad-of-jit and vmap-of-grad both work over the engine fit."""
     B, K = 4, 20

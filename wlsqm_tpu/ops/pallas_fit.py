@@ -71,7 +71,7 @@ TS_REFINE_STEPS = 6
 #: number system per kernel precision: (module, planes, default sweeps)
 _NS = {"ds": (tf, 2, DS_REFINE_STEPS), "ts": (tf3, 3, TS_REFINE_STEPS)}
 
-__all__ = ["fit_pallas", "fit_pallas_jit", "supported"]
+__all__ = ["fit_pallas", "fit_pallas_diffable", "fit_pallas_jit", "supported"]
 
 
 def _const_planes(v: float, nplanes: int):
@@ -759,3 +759,91 @@ def fit_pallas_jit(*args, **kwargs):
         jitted = jax.jit(fn, static_argnames=_STATIC)
         _JIT_CACHE[fn] = jitted
     return jitted(*args, **kwargs)
+
+
+# -----------------------------------------------------------------------------
+# Reverse-mode differentiable wrapper (adjoints at kernel speed)
+# -----------------------------------------------------------------------------
+#
+# The basic-algorithm fit is LINEAR in the data: fi = M(geometry) fk
+# (+ the prescribed-knowns contribution, constant w.r.t. fk), and the
+# Jacobian dfi/dfk is exactly the sensitivity array the kernel already
+# computes (reference: wlsqm/fitter/impl.pyx:768-846).  So the VJP w.r.t.
+# fk is one einsum against sens — no differentiating through the Pallas
+# body, no engine fallback.  Geometry (xk/xi) and fi_init gradients are
+# NOT provided here: they are stopped explicitly, and callers who need
+# them use the engine path (tests/test_autodiff.py).
+
+
+def _zero_ct(x):
+    """A zero cotangent matching ``x`` (float0 for non-inexact dtypes)."""
+    if x is None:
+        return None
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return np.zeros(jnp.shape(x), jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fit_pallas_lin(statics, xk, fk, nk, xi, gi):
+    kw = dict(statics)
+    return fit_pallas(xk, fk, nk, xi, gi, **kw)
+
+
+def _fit_pallas_lin_fwd(statics, xk, fk, nk, xi, gi):
+    kw = dict(statics)
+    fi, sens = fit_pallas(xk, fk, nk, xi, gi, do_sens=True, **kw)
+    # primals ride along only to shape the zero cotangents; DCE removes them
+    return fi, (sens, xk, nk, xi, gi)
+
+
+def _fit_pallas_lin_bwd(statics, res, g):
+    sens, xk, nk, xi, gi = res
+    # known DOFs carry NaN sens rows (constants w.r.t. fk): exactly zero grad
+    s = jnp.nan_to_num(sens)
+    dfk = jnp.einsum("bkj,bj->bk", s, g)
+    return (_zero_ct(xk), dfk, _zero_ct(nk), _zero_ct(xi), _zero_ct(gi))
+
+
+_fit_pallas_lin.defvjp(_fit_pallas_lin_fwd, _fit_pallas_lin_bwd)
+
+
+def fit_pallas_diffable(xk, fk, nk, xi, fi_init=None, *, dimension: int,
+                        order: int, weighting: int,
+                        refine_steps: int | None = None,
+                        interpret: bool = False, knowns: int = 0,
+                        precision: str = "ds"):
+    """:func:`fit_pallas` (basic algorithm), reverse-mode differentiable
+    in ``fk`` — adjoints at kernel speed.
+
+    ``jax.grad``/``jacrev``/``jax.vjp`` through this function backprop via
+    the kernel's own sensitivity array (the exact Jacobian of the
+    linear-in-data fit), so an adjoint IBVP loop or a data-side inverse
+    problem runs both passes at fused-kernel throughput instead of
+    falling back to the XLA engine.  The reverse pass costs one
+    ``do_sens`` kernel launch plus an einsum; accuracy is the kernel's
+    (~1e-12-grade for ds; see docs/theory.md §7).
+
+    Gradients w.r.t. the geometry (``xk``/``xi``) and ``fi_init`` are
+    STOPPED (exact zeros) — the kernel has no geometry-AD rules; use the
+    engine path (``backend="xla"``) for those (tests/test_autodiff.py).
+    ALGO_ITERATIVE is not offered here: its corrective refits make the
+    map piecewise in ``fk``, and the initial-solve sens is not its exact
+    Jacobian — use ``engine.fit_batch(..., fixed_trip=True)`` instead.
+    """
+    if not supported(dimension, np.full((1,), order, np.int64),
+                     np.full((1,), knowns, np.int64),
+                     np.full((1,), weighting, np.int64), K=xk.shape[1],
+                     do_sens=True, precision=precision):
+        raise ValueError(
+            "fit_pallas_diffable: configuration unsupported by the fused "
+            "kernel with sensitivities (VMEM budget or feature set); use "
+            "the engine path (wlsqm_tpu.fitter.engine.fit_batch).")
+    statics = (("dimension", dimension), ("order", order),
+               ("weighting", weighting), ("refine_steps", refine_steps),
+               ("interpret", interpret), ("knowns", knowns),
+               ("precision", precision))
+    xk = lax.stop_gradient(xk)
+    xi = lax.stop_gradient(xi)
+    gi = None if fi_init is None else lax.stop_gradient(fi_init)
+    return _fit_pallas_lin(statics, xk, fk, nk, xi, gi)

@@ -307,3 +307,23 @@ def test_ts_supported_vmem_accounting():
     assert pallas_fit.supported(3, np.full(2, 4), np.zeros(2), np.zeros(2),
                                 K=48, precision="ts") == \
         pallas_fit.vmem_ok(3, 4, 48, nplanes=3)
+
+
+def test_tile_s_bit_identity(rng):
+    """tile_s only changes the block layout: per-case results (DOFs and
+    sensitivities) are bit-identical for any sublane count, and the VMEM
+    accounting scales with it."""
+    from wlsqm_tpu.ops import pallas_fit
+
+    xk, fk, nk, xi = _problem(rng, 2048, K=16)
+    kw = dict(dimension=2, order=2, weighting=defs.WEIGHT_CENTER,
+              interpret=True, do_sens=True)
+    fi8, s8 = fit_pallas(xk, fk, nk, xi, **kw)
+    fi16, s16 = fit_pallas(xk, fk, nk, xi, tile_s=16, **kw)
+    fi4, s4 = fit_pallas(xk, fk, nk, xi, tile_s=4, **kw)
+    np.testing.assert_array_equal(np.asarray(fi8), np.asarray(fi16))
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s16))
+    np.testing.assert_array_equal(np.asarray(fi8), np.asarray(fi4))
+    np.testing.assert_array_equal(np.asarray(s8), np.asarray(s4))
+    assert pallas_fit._vmem_bytes(2, 2, 16, True, tile_s=16) == \
+        2 * pallas_fit._vmem_bytes(2, 2, 16, True, tile_s=8)

@@ -86,9 +86,10 @@ def _const_planes(v: float, nplanes: int):
 
 
 def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool,
-                do_sens: bool = False, nplanes: int = 2) -> int:
+                do_sens: bool = False, nplanes: int = 2,
+                tile_s: int = TILE_S) -> int:
     NO = defs.number_of_dofs(dimension, order)
-    tile_bytes = TILE_S * TILE_L * 4
+    tile_bytes = tile_s * TILE_L * 4
     # scratch: A (NO,NO) + b planes + w planes (+ stored basis when it
     # fits); the Cholesky factor lives in registers/spills, not a buffer
     scratch = (NO * NO + nplanes * NO + nplanes * K) * tile_bytes
@@ -103,14 +104,16 @@ def _vmem_bytes(dimension: int, order: int, K: int, store_basis: bool,
 
 
 def _store_basis(dimension: int, order: int, K: int,
-                 do_sens: bool = False, nplanes: int = 2) -> bool:
+                 do_sens: bool = False, nplanes: int = 2,
+                 tile_s: int = TILE_S) -> bool:
     """Store the basis-row planes in VMEM (fast matvecs) when they fit."""
     return _vmem_bytes(dimension, order, K, True, do_sens,
-                       nplanes) < 12 * 1024 * 1024
+                       nplanes, tile_s) < 12 * 1024 * 1024
 
 
 def vmem_ok(dimension: int, order: int, K: int,
-            do_sens: bool = False, nplanes: int = 2) -> bool:
+            do_sens: bool = False, nplanes: int = 2,
+            tile_s: int = TILE_S) -> bool:
     """Whether the kernel's per-block state fits in VMEM (~16 MB/core).
 
     Two variants: basis rows stored in VMEM scratch (fastest), or
@@ -119,7 +122,7 @@ def vmem_ok(dimension: int, order: int, K: int,
     for Mosaic's own buffers.
     """
     return _vmem_bytes(dimension, order, K, False, do_sens,
-                       nplanes) < 12 * 1024 * 1024
+                       nplanes, tile_s) < 12 * 1024 * 1024
 
 
 def supported(dimension: int, order, knowns, weighting, K: int | None = None,
@@ -194,7 +197,8 @@ SENS_SWEEPS = {"ds": 1, "ts": 2}
 
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                  refine_steps: int, store_basis: bool, do_sens: bool,
-                 max_iter: int, knowns: int, precision: str):
+                 max_iter: int, knowns: int, precision: str,
+                 tile_s: int = TILE_S):
     ns, NPL, _ = _NS[precision]
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
@@ -240,7 +244,7 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
         c_refs = None
         if store_basis:
             c_refs, rest = take(rest, NPL)
-        zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+        zero = jnp.zeros((tile_s, TILE_L), jnp.float32)
 
         def zpad(planes):
             """Pad a value to the full plane count with zero tiles."""
@@ -320,7 +324,7 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
         # known DOFs: identity rows/cols in A, zero RHS (their values are
         # prescribed; the solve only determines the unknowns)
-        one = jnp.ones((TILE_S, TILE_L), jnp.float32)
+        one = jnp.ones((tile_s, TILE_L), jnp.float32)
         for j in KN:
             for mcol in range(j, NO):
                 A_ref[j, mcol] = one if mcol == j else zero
@@ -501,7 +505,7 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
             st0 = tuple([ph[p] for ph in xhat] for p in range(NPL)) + (
                 zero,
-                jnp.full((TILE_S, TILE_L), -1.0, jnp.float32), zero)
+                jnp.full((tile_s, TILE_L), -1.0, jnp.float32), zero)
             stN = lax.fori_loop(jnp.int32(0), jnp.int32(max_iter),
                                 iter_body, st0)
             opl, itn = stN[:-3], stN[-1]
@@ -582,11 +586,13 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 
 @partial(jax.jit, static_argnames=("dimension", "order", "weighting",
                                    "refine_steps", "interpret", "do_sens",
-                                   "max_iter", "knowns", "precision"))
+                                   "max_iter", "knowns", "precision",
+                                   "tile_s"))
 def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
                weighting: int, refine_steps: int | None = None,
                interpret: bool = False, do_sens: bool = False,
-               max_iter: int = 0, knowns: int = 0, precision: str = "ds"):
+               max_iter: int = 0, knowns: int = 0, precision: str = "ds",
+               tile_s: int | None = None):
     """Fused-kernel fit of a homogeneous batch (see module docstring).
 
     xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
@@ -595,19 +601,27 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     exact-stagnation rule) and appends per-case iteration counts.
     precision: "ds" (double-single pairs, default) or "ts" (triple-single
     — deeper error floor for probe-rejected middle-band batches).
+    tile_s: sublanes per case tile (default :data:`TILE_S` = 8).  Larger
+    values process ``tile_s/8`` independent (8, 128) hardware tiles per
+    vector op — more instruction-level parallelism across the Cholesky
+    and refinement dependency chains at ``tile_s``× the VMEM footprint.
+    Per-case results are bit-identical for any value (the arithmetic
+    never crosses lanes); B must divide by ``tile_s * 128``.
     Returns fi (B, NO) f64, with iters (B,) i32 appended when max_iter > 0
     and sens (B, K, NO) f64 appended when do_sens — in that order.
     """
     ns, NPL, default_steps = _NS[precision]
     if refine_steps is None:
         refine_steps = default_steps
+    ts_ = TILE_S if tile_s is None else int(tile_s)
+    tile = ts_ * TILE_L
     B, K, _ = xk.shape
-    assert B % TILE == 0, "pad the batch to a multiple of %d" % TILE
-    nblk = B // TILE
-    store_basis = _store_basis(dimension, order, K, do_sens, NPL)
+    assert B % tile == 0, "pad the batch to a multiple of %d" % tile
+    nblk = B // tile
+    store_basis = _store_basis(dimension, order, K, do_sens, NPL, ts_)
     kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
                                    refine_steps, store_basis, do_sens,
-                                   max_iter, knowns, precision)
+                                   max_iter, knowns, precision, ts_)
     KN = [j for j in range(NO) if (knowns >> j) & 1]
 
     # host-side (XLA) preprocessing: plane split + tile layout
@@ -618,8 +632,8 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     fkm = jnp.where(kmask, fk, 0.0)
     fk_planes = ns.from_f64(fkm)
 
-    def to_tiles(x):  # (B, K, ...) -> (nblk, K, ..., 8, 128)
-        x = jnp.moveaxis(x.reshape(nblk, TILE_S, TILE_L, *x.shape[1:]), (1, 2),
+    def to_tiles(x):  # (B, K, ...) -> (nblk, K, ..., ts_, 128)
+        x = jnp.moveaxis(x.reshape(nblk, ts_, TILE_L, *x.shape[1:]), (1, 2),
                          (-2, -1))
         return x
 
@@ -629,8 +643,8 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     e_s = jnp.ceil(0.5 * jnp.log2(jnp.where(h2 > 0, h2, 1.0)))
     inv_s = jnp.exp2(-e_s).astype(jnp.float32)
 
-    def to_tiles1(x):  # (B,) -> (nblk, 8, 128)
-        return x.reshape(nblk, TILE_S, TILE_L)
+    def to_tiles1(x):  # (B,) -> (nblk, ts_, 128)
+        return x.reshape(nblk, ts_, TILE_L)
 
     args = ([to_tiles(p) for p in d_planes]
             + [to_tiles(p) for p in fk_planes]
@@ -659,41 +673,41 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     for a in args:
         if a.ndim == 5:
             in_specs.append(pl.BlockSpec(
-                (None, a.shape[1], a.shape[2], TILE_S, TILE_L),
+                (None, a.shape[1], a.shape[2], ts_, TILE_L),
                 lambda i: (i, z, z, z, z)))
         elif a.ndim == 4:
             in_specs.append(pl.BlockSpec(
-                (None, a.shape[1], TILE_S, TILE_L),
+                (None, a.shape[1], ts_, TILE_L),
                 lambda i: (i, z, z, z)))
         else:
             in_specs.append(pl.BlockSpec(
-                (None, TILE_S, TILE_L), lambda i: (i, z, z)))
+                (None, ts_, TILE_L), lambda i: (i, z, z)))
 
-    out_shape = [jax.ShapeDtypeStruct((nblk, NO, TILE_S, TILE_L), jnp.float32)
+    out_shape = [jax.ShapeDtypeStruct((nblk, NO, ts_, TILE_L), jnp.float32)
                  for _ in range(NPL)]
-    out_specs = [pl.BlockSpec((None, NO, TILE_S, TILE_L),
+    out_specs = [pl.BlockSpec((None, NO, ts_, TILE_L),
                               lambda i: (i, z, z, z)) for _ in range(NPL)]
     if max_iter:
         out_shape += [
-            jax.ShapeDtypeStruct((nblk, TILE_S, TILE_L), jnp.float32)]
+            jax.ShapeDtypeStruct((nblk, ts_, TILE_L), jnp.float32)]
         out_specs += [
-            pl.BlockSpec((None, TILE_S, TILE_L), lambda i: (i, z, z))]
+            pl.BlockSpec((None, ts_, TILE_L), lambda i: (i, z, z))]
     if do_sens:
         out_shape += [
-            jax.ShapeDtypeStruct((nblk, K, NO, TILE_S, TILE_L), jnp.float32)
+            jax.ShapeDtypeStruct((nblk, K, NO, ts_, TILE_L), jnp.float32)
             for _ in range(NPL)]
         out_specs += [
-            pl.BlockSpec((None, K, NO, TILE_S, TILE_L),
+            pl.BlockSpec((None, K, NO, ts_, TILE_L),
                          lambda i: (i, z, z, z, z)) for _ in range(NPL)]
     out_shape = tuple(out_shape)
     out_specs = tuple(out_specs)
-    scratch = [pltpu.VMEM((NO, NO, TILE_S, TILE_L), jnp.float32)]      # A
-    scratch += [pltpu.VMEM((NO, TILE_S, TILE_L), jnp.float32)          # b
+    scratch = [pltpu.VMEM((NO, NO, ts_, TILE_L), jnp.float32)]         # A
+    scratch += [pltpu.VMEM((NO, ts_, TILE_L), jnp.float32)             # b
                 for _ in range(NPL)]
-    scratch += [pltpu.VMEM((K, TILE_S, TILE_L), jnp.float32)           # w
+    scratch += [pltpu.VMEM((K, ts_, TILE_L), jnp.float32)              # w
                 for _ in range(NPL)]
     if store_basis:
-        scratch += [pltpu.VMEM((K, NO, TILE_S, TILE_L), jnp.float32)   # c
+        scratch += [pltpu.VMEM((K, NO, ts_, TILE_L), jnp.float32)      # c
                     for _ in range(NPL)]
 
     outs = pl.pallas_call(
@@ -746,7 +760,7 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
 _JIT_CACHE = {}
 
 _STATIC = ("dimension", "order", "weighting", "refine_steps", "interpret",
-           "do_sens", "max_iter", "knowns", "precision")
+           "do_sens", "max_iter", "knowns", "precision", "tile_s")
 
 
 def fit_pallas_jit(*args, **kwargs):

@@ -399,3 +399,17 @@ def test_grad_composes_with_jit_and_vmap(rng):
     gv = jax.vmap(jax.grad(case_loss, argnums=1))(xk, fk)
     assert gv.shape == fk.shape
     assert bool(jnp.isfinite(gv).all())
+
+
+def test_kernel_adjoint_rejects_unsupported_config(rng):
+    """Configs the fused do_sens kernel cannot take raise a clear
+    ValueError instead of silently falling back."""
+    from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas_diffable
+
+    B, K = TILE, 16
+    xk, fk = _batch(rng, B, K)
+    nk = jnp.full((B,), K, jnp.int32)
+    xi = jnp.zeros((B, 2))
+    with pytest.raises(ValueError, match="unsupported"):
+        fit_pallas_diffable(xk, fk, nk, xi, dimension=2, order=2,
+                            weighting=999, interpret=True)

@@ -142,6 +142,7 @@ def supported(dimension: int, order, knowns, weighting, K: int | None = None,
         and order.min() == order.max()
         and knowns.min() == knowns.max()
         and weighting.min() == weighting.max()
+        and weighting.max() in (defs.WEIGHT_UNIFORM, defs.WEIGHT_CENTER)
     )
     if ok and K is not None:
         ok = vmem_ok(dimension, int(order.max()), K, do_sens, nplanes)

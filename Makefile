@@ -30,6 +30,7 @@ examples:
 	python examples/sudoku_lhs.py
 	JAX_NUM_CPU_DEVICES=8 python examples/jit_plan_sharding.py
 	python examples/gradient_stencil_design.py
+	python examples/adjoint_data_recovery.py
 
 bench-ladder:                  # precision-ladder accuracy/throughput sweep
 	python benchmarks/run_ladder_sweep.py

@@ -36,7 +36,42 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _axon_relay_preflight(timeout_s: float = 600.0) -> bool:
+    """Wait for the axon remote-TPU relay port before touching jax.
+
+    On this container the TPU is reached through a loopback relay
+    (ports 8082/8083); when the relay is down, the first device-touching
+    jax call blocks FOREVER (no exception to catch), which would hang
+    the whole benchmark run.  If the axon env is present but the port
+    never opens within ``timeout_s``, return False so the caller can
+    emit an honest error record instead of hanging.
+    """
+    import os
+    import socket
+    import time as _t
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True       # no relay in play (plain CPU/TPU runtime)
+    deadline = _t.time() + timeout_s
+    while _t.time() < deadline:
+        try:
+            with socket.create_connection(("127.0.0.1", 8083), timeout=3):
+                return True
+        except OSError:
+            _t.sleep(10)
+    return False
+
+
 def main():
+    if not _axon_relay_preflight():
+        log("axon relay unreachable (port 8083 closed); refusing to hang")
+        print(json.dumps({
+            "metric": "fits/sec, 2D order-4 k=30 (f64-grade DOFs, 1 chip)",
+            "value": 0, "unit": "fits/s", "vs_baseline": 0,
+            "error": "axon TPU relay unreachable at bench time",
+        }), flush=True)
+        return
+
     import jax
     import jax.numpy as jnp
 

@@ -248,3 +248,47 @@ def test_sharded_ibvp_step_matches_single_device(rng):
         mesh, prep_s, jnp.moveaxis(fk_s, -1, 0))
 
     np.testing.assert_array_equal(np.asarray(fi_s), np.asarray(fi_1))
+
+
+@needs_devices
+def test_sharded_kernel_adjoint_matches_single_device(rng):
+    """jax.grad through shard_map(fit_pallas_diffable) over the case
+    axis is bit-identical to the single-device gradient: the VJP (one
+    do_sens launch + einsum) is per-case, so data-parallel adjoint
+    loops scale with zero collectives."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from wlsqm_tpu.fitter import defs
+    from wlsqm_tpu.ops.pallas_fit import fit_pallas_diffable
+
+    ndev = len(jax.devices())
+    B, K = 512 * ndev, 12   # tile_s=4 -> 512-case tiles per shard
+    xk = jnp.asarray(rng.uniform(-1, 1, (B, K, 2)))
+    fk = jnp.sin(xk[..., 0]) * jnp.cos(xk[..., 1])
+    nk = jnp.full((B,), K, jnp.int32)
+    xi = jnp.zeros((B, 2))
+
+    def local_loss(xk, fk, nk, xi):
+        fi = fit_pallas_diffable(xk, fk, nk, xi, dimension=2, order=2,
+                                 weighting=defs.WEIGHT_CENTER,
+                                 interpret=True, tile_s=4)
+        return (fi ** 2).sum()
+
+    mesh = sharding.make_mesh()
+    spec = P(sharding.CASE_AXIS)
+
+    # out_specs=P() needs a replicated value: psum the per-shard losses
+    def local_loss_psum(xk, fk, nk, xi):
+        return jax.lax.psum(local_loss(xk, fk, nk, xi),
+                            sharding.CASE_AXIS)
+
+    def global_loss(fk):
+        return jax.shard_map(
+            local_loss_psum, mesh=mesh, in_specs=(spec,) * 4,
+            out_specs=P(), check_vma=False)(xk, fk, nk, xi)
+
+    g_sh = jax.jit(jax.grad(global_loss))(fk)
+    g_1 = jax.jit(jax.grad(
+        lambda f: local_loss(xk, f, nk, xi)))(fk)
+    np.testing.assert_array_equal(np.asarray(g_sh), np.asarray(g_1))

@@ -827,7 +827,8 @@ def fit_pallas_diffable(xk, fk, nk, xi, fi_init=None, *, dimension: int,
                         order: int, weighting: int,
                         refine_steps: int | None = None,
                         interpret: bool = False, knowns: int = 0,
-                        precision: str = "ds"):
+                        precision: str = "ds",
+                        tile_s: int | None = None):
     """:func:`fit_pallas` (basic algorithm), reverse-mode differentiable
     in ``fk`` — adjoints at kernel speed.
 
@@ -857,7 +858,7 @@ def fit_pallas_diffable(xk, fk, nk, xi, fi_init=None, *, dimension: int,
     statics = (("dimension", dimension), ("order", order),
                ("weighting", weighting), ("refine_steps", refine_steps),
                ("interpret", interpret), ("knowns", knowns),
-               ("precision", precision))
+               ("precision", precision), ("tile_s", tile_s))
     xk = lax.stop_gradient(xk)
     xi = lax.stop_gradient(xi)
     gi = None if fi_init is None else lax.stop_gradient(fi_init)

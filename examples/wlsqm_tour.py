@@ -138,6 +138,44 @@ def tour_routing(rng):
               f"-> {route}   ({label})")
 
 
+def tour_autodiff(rng):
+    banner("Autodiff (beyond the reference): jax.grad through the fit")
+    import jax
+    import jax.numpy as jnp
+
+    from wlsqm_tpu.fitter import defs, engine
+
+    B, K, NO = 8, 18, 6
+    xk = jnp.asarray(rng.uniform(-1, 1, (B, K, 2)))
+    fk = jnp.sin(xk[..., 0]) * jnp.cos(xk[..., 1])
+    args = (jnp.full((B,), K, jnp.int32), jnp.zeros((B, 2)),
+            jnp.zeros((B, NO)), jnp.full((B,), 2, jnp.int32),
+            jnp.zeros((B,), jnp.int64),
+            jnp.full((B,), defs.WEIGHT_CENTER, jnp.int32))
+
+    def x_deriv_sum(fk):
+        fi, _, _, _ = engine.fit_batch(xk, fk, *args, dimension=2, NO=NO)
+        return fi[:, wt.i2_X].sum()
+
+    # reverse mode over the DATA reproduces the reference's sens column
+    g_fk = jax.grad(x_deriv_sum)(fk)
+    _, sens, _, _ = engine.fit_batch(xk, fk, *args, dimension=2, NO=NO,
+                                     do_sens=True)
+    print("  d(sum f_x)/d fk vs sens column: max diff "
+          f"{float(jnp.abs(g_fk - sens[:, :, wt.i2_X]).max()):.2e}")
+
+    # ... and the GEOMETRY gradient has no reference counterpart at all
+    def x_deriv_sum_geom(x):
+        fi, _, _, _ = engine.fit_batch(x, fk, *args, dimension=2, NO=NO)
+        return fi[:, wt.i2_X].sum()
+
+    g_xk = jax.grad(x_deriv_sum_geom)(xk)
+    print(f"  d(sum f_x)/d xk exists too: shape {tuple(g_xk.shape)}, "
+          f"max |g| {float(jnp.abs(g_xk).max()):.2f} "
+          "(sensor-placement design; see examples/gradient_stencil_design"
+          ".py and docs/autodiff.md)")
+
+
 if __name__ == "__main__":
     rng = np.random.default_rng(42)
     tour_1d(rng)
@@ -146,4 +184,5 @@ if __name__ == "__main__":
     tour_sensitivity(rng)
     tour_jax_native(rng)
     tour_routing(rng)
+    tour_autodiff(rng)
     print("\nAll tour stages done.")

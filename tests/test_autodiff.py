@@ -14,9 +14,12 @@ their scale factors (exact: the fit is invariant to the preconditioner —
 see wlsqm_tpu/ops/ruiz.py).  ALGO_ITERATIVE's stagnation-controlled
 ``lax.while_loop`` supports forward mode only; reverse-mode callers use
 the basic algorithm (the fixed point is the same on exact-polynomial
-data).  The fused Pallas kernel has no AD rules — differentiation is an
-engine-path (``backend="xla"`` or traced-auto) feature, which is exactly
-what a traced ``fit_many`` call routes to.
+data).  The Pallas kernel body itself has no AD rules, but
+``fit_pallas_diffable`` wraps it in a ``custom_vjp`` whose backward pass
+is the kernel's own sensitivity array (exact for the linear-in-data
+basic fit) — data adjoints at kernel speed, geometry gradients stopped;
+traced ``fit_many`` calls route to the engine, which differentiates in
+both.  See docs/autodiff.md for the full map.
 """
 
 import numpy as np
@@ -413,3 +416,40 @@ def test_kernel_adjoint_rejects_unsupported_config(rng):
     with pytest.raises(ValueError, match="unsupported"):
         fit_pallas_diffable(xk, fk, nk, xi, dimension=2, order=2,
                             weighting=999, interpret=True)
+
+
+@pytest.mark.parametrize("dim,order,weighting", [
+    (1, 3, defs.WEIGHT_UNIFORM),
+    (2, 4, defs.WEIGHT_CENTER),
+    (3, 2, defs.WEIGHT_CENTER),
+])
+def test_kernel_adjoint_parity_across_configs(rng, dim, order, weighting):
+    """The kernel VJP equals the engine gradient across dimensions and
+    orders (small batches via tile_s=2)."""
+    from wlsqm_tpu.ops.pallas_fit import fit_pallas_diffable
+
+    B, K = 256, 24
+    xk = jnp.asarray(rng.uniform(-1.0, 1.0, (B, K, dim)))
+    fk = jnp.sin(1.1 * xk[..., 0]) * jnp.cos(0.9 * xk.sum(-1))
+    nk = jnp.full((B,), K, jnp.int32)
+    xi = jnp.zeros((B, dim))
+    NO = defs.number_of_dofs(dim, order)
+
+    def loss_kernel(f):
+        fi = fit_pallas_diffable(xk, f, nk, xi, dimension=dim, order=order,
+                                 weighting=weighting, interpret=True,
+                                 tile_s=2)
+        return (fi ** 2).sum()
+
+    def loss_engine(f):
+        fi, _s, _i, _c = engine.fit_batch(
+            xk, f, nk, xi, jnp.zeros((B, NO)),
+            jnp.full((B,), order, jnp.int32), jnp.zeros((B,), jnp.int64),
+            jnp.full((B,), weighting, jnp.int32),
+            dimension=dim, NO=NO, precision="f64")
+        return (fi ** 2).sum()
+
+    gk = jax.grad(loss_kernel)(fk)
+    ge = jax.grad(loss_engine)(fk)
+    scale = float(jnp.abs(ge).max())
+    assert float(jnp.abs(gk - ge).max()) < 5e-5 * scale

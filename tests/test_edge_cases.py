@@ -1,6 +1,7 @@
 """Edge cases: boundary orders, minimum neighbor counts, knowns preservation."""
 
 import numpy as np
+import pytest
 
 import wlsqm_tpu as wt
 
@@ -113,3 +114,13 @@ def test_prepare_solve_validate_inputs(rng):
         wt.prepare(xk, np.zeros((7, 2)), order=2)
     with pytest.raises(ValueError, match="nk must have shape"):
         wt.prepare(xk, np.zeros((8, 2)), order=2, nk=np.full(3, 20))
+
+
+def test_unknown_weighting_id_rejected():
+    rng = np.random.default_rng(0)
+    xk = rng.uniform(-1, 1, (8, 12, 2))
+    fk = xk[..., 0]
+    with pytest.raises(ValueError, match="weighting must be"):
+        wt.fit_many(xk, fk, order=2, weighting=7)
+    with pytest.raises(ValueError, match="weighting must be"):
+        wt.prepare(xk, np.zeros((8, 2)), order=2, weighting=7)

@@ -180,6 +180,24 @@ def _check_ds_allowed():
         raise ValueError(msg)
 
 
+def _validate_weighting(weighting_a):
+    """Reject unknown weighting ids (trace-safe: skipped for tracers).
+
+    The engine's weight selection treats any non-CENTER id as uniform,
+    so an invalid id would silently change semantics instead of failing.
+    """
+    if isinstance(weighting_a, jax.core.Tracer):
+        return
+    w_np = np.asarray(weighting_a)
+    known = (defs.WEIGHT_UNIFORM, defs.WEIGHT_CENTER)
+    if not np.isin(w_np, known).all():
+        raise ValueError(
+            "weighting must be WEIGHT_UNIFORM (%d) or WEIGHT_CENTER (%d) "
+            "per case; got unknown ids %s"
+            % (defs.WEIGHT_UNIFORM, defs.WEIGHT_CENTER,
+               sorted(set(w_np.tolist()) - set(known))))
+
+
 def _broadcast_case_param(value, B, dtype):
     arr = jnp.asarray(value, dtype)
     if arr.ndim == 0:
@@ -306,6 +324,7 @@ def fit_many(
     order_a = _broadcast_case_param(order, B, jnp.int32)
     knowns_a = _broadcast_case_param(knowns, B, jnp.int64)
     weighting_a = _broadcast_case_param(weighting, B, jnp.int32)
+    _validate_weighting(weighting_a)
 
     if max_order is None:
         max_order = int(np.max(np.asarray(order)))
@@ -781,6 +800,7 @@ def prepare(
     order_a = _broadcast_case_param(order, B, jnp.int32)
     knowns_a = _broadcast_case_param(knowns, B, jnp.int64)
     weighting_a = _broadcast_case_param(weighting, B, jnp.int32)
+    _validate_weighting(weighting_a)
     if max_order is None:
         max_order = int(np.max(np.asarray(order)))
     NO = defs.number_of_dofs(dim, max_order)

@@ -91,8 +91,8 @@ def test_recompute_basis_variant(rng, monkeypatch):
     # but is eligible via recomputation
     assert not pallas_fit._store_basis(3, 4, 48)
     assert pallas_fit.vmem_ok(3, 4, 48)
-    assert pallas_fit.supported(3, np.full(2, 4), np.zeros(2), np.zeros(2),
-                                K=48)
+    assert pallas_fit.supported(3, np.full(2, 4), np.zeros(2),
+                                np.full(2, defs.WEIGHT_UNIFORM), K=48)
 
     # K=13 is a shape no other test uses, so the jitted fit_pallas retraces
     # and picks up the monkeypatched store decision
@@ -304,7 +304,8 @@ def test_ts_supported_vmem_accounting():
 
     # 3D order-4 K=48 fits ds (recompute variant) and also ts
     assert pallas_fit.vmem_ok(3, 4, 48, nplanes=2)
-    assert pallas_fit.supported(3, np.full(2, 4), np.zeros(2), np.zeros(2),
+    assert pallas_fit.supported(3, np.full(2, 4), np.zeros(2),
+                                np.full(2, defs.WEIGHT_UNIFORM),
                                 K=48, precision="ts") == \
         pallas_fit.vmem_ok(3, 4, 48, nplanes=3)
 

@@ -79,7 +79,13 @@ def test_fit_many_matches_oracle(cfg):
     for b in range(B):
         want = _oracle_case(xk[b], fk[b], xi[b], int(nk[b]), order, knowns,
                             weighting, dimension, fi_init[b])
-        tol = max(1e-14 * float(cond[b] * amp[b]), 1e-10)
+        # coefficient calibrated by fuzzing: hypothesis found a ragged
+        # 1D order-3 case where the engine and the LAPACK oracle differ
+        # by 1.3e-14 * cond * amp (~57 ulp/unit) — both correct f64
+        # pipelines, different elimination orders; 2e-14 covers the
+        # observed scatter with margin while still scaling with the
+        # probed conditioning
+        tol = max(2e-14 * float(cond[b] * amp[b]), 1e-10)
         np.testing.assert_allclose(
             got[b, :no], want, rtol=tol, atol=tol,
             err_msg=f"case {b} of cfg={cfg} (cond*amp="

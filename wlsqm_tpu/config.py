@@ -46,6 +46,16 @@ if _CACHE:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def cache_dir() -> str | None:
+    """The opt-in persistent cache directory, or None when not enabled.
+
+    Shared by the XLA compilation cache and the ds-fidelity canary verdict
+    (:func:`wlsqm_tpu.fitter.engine_ds.ds_backend_ok`), so one
+    ``WLSQM_TPU_COMPILE_CACHE`` setting makes both one-time per machine.
+    """
+    return _CACHE
+
+
 def default_dtype():
     """The default floating dtype for fitting (float64 unless x64 disabled)."""
     import jax.numpy as jnp

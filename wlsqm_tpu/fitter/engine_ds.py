@@ -40,6 +40,62 @@ WEIGHT_BETA = 1.0 - WEIGHT_ALPHA
 # ds-fidelity canary results, cached per backend name
 _DS_CANARY: dict[str, bool] = {}
 
+# bump when the canary's methodology changes: persisted verdicts from an
+# older canary must not be trusted
+_CANARY_VERSION = 1
+
+
+def _canary_store():
+    """Path of the persisted canary-verdict file, or None (not enabled)."""
+    import os
+
+    from wlsqm_tpu import config
+
+    d = config.cache_dir()
+    return os.path.join(d, "ds_canary.json") if d else None
+
+
+def _canary_key(backend: str) -> str:
+    return f"v{_CANARY_VERSION}:{backend}:jax-{jax.__version__}"
+
+
+def _load_persisted_verdict(backend: str):
+    """Persisted canary verdict for this (backend, jax version), or None."""
+    path = _canary_store()
+    if not path:
+        return None
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f).get(_canary_key(backend))
+    except (OSError, ValueError):  # missing or corrupt: just re-measure
+        return None
+
+
+def _persist_verdict(backend: str, ok: bool) -> None:
+    """Record the verdict (atomic replace; best-effort, never raises)."""
+    path = _canary_store()
+    if not path:
+        return
+    import json
+    import os
+    import tempfile
+
+    try:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        data[_canary_key(backend)] = bool(ok)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, path)
+    except OSError:  # read-only cache dir etc.: the in-process cache stands
+        pass
+
 
 def _run_ds_canary() -> bool:
     """End-to-end pair-fidelity check of the ds engine on this backend.
@@ -81,7 +137,10 @@ def ds_backend_ok() -> bool:
     benchmarks/README.md), and the canary's two engine compiles cost
     ~30 s per process on remote bridges.  Everything else (XLA:CPU is
     the known degrader — see ops/twofloat.py) runs
-    :func:`_run_ds_canary` once per backend and caches the verdict.
+    :func:`_run_ds_canary` once per backend and caches the verdict —
+    in-process always, and on disk (keyed by backend + jax version) when
+    ``WLSQM_TPU_COMPILE_CACHE`` is set, so the two engine compiles are
+    one-time per machine rather than per process.
     The api layer raises on an explicit ``precision="ds"`` request when
     this is False (override: ``WLSQM_TPU_ALLOW_DEGRADED_DS=1`` downgrades
     to a warning), and the auto ladder skips the ds rung.
@@ -99,7 +158,16 @@ def ds_backend_ok() -> bool:
         if backend == "tpu":
             _DS_CANARY[backend] = True
         else:
-            _DS_CANARY[backend] = _run_ds_canary()
+            # when the persistent cache is enabled (WLSQM_TPU_COMPILE_CACHE),
+            # the verdict survives across processes — the two engine compiles
+            # become one-time per machine per jax version, like the XLA cache
+            persisted = _load_persisted_verdict(backend)
+            if persisted is None:
+                verdict = _run_ds_canary()
+                _persist_verdict(backend, verdict)
+                _DS_CANARY[backend] = verdict
+            else:
+                _DS_CANARY[backend] = bool(persisted)
     return _DS_CANARY[backend]
 
 

@@ -10,7 +10,13 @@
 #
 # Usage:  benchmarks/run_reference_suite.sh [path-to-reference]
 # Expected result: 46 passed.
+#
+# The suite is a BEHAVIORAL check, so it runs on the host CPU by default
+# (WLSQM_TPU_PLATFORM=cpu — robust against remote-TPU relays being down);
+# override with WLSQM_REF_SUITE_PLATFORM to drive it on a device.
 set -euo pipefail
+
+export WLSQM_TPU_PLATFORM="${WLSQM_REF_SUITE_PLATFORM:-cpu}"
 
 REF="${1:-/root/reference}"
 if [ "$#" -gt 0 ]; then shift; fi

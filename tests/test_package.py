@@ -125,3 +125,24 @@ def test_solve_multifield(rng):
     # iterative variant keeps the same stacking
     fi_it, _, iters = wt.solve(prep, fks, iterative=True, max_iter=3)
     assert fi_it.shape == (F, B, 6) and iters.shape[0] == F
+
+
+def test_platform_env_knob():
+    """WLSQM_TPU_PLATFORM pins jax_platforms at import, after sitecustomize.
+
+    JAX_PLATFORMS alone is not enough on runtimes whose site customization
+    re-registers an accelerator platform at interpreter start; the config
+    knob runs at wlsqm_tpu import time and wins.  Used by
+    benchmarks/run_reference_suite.sh to stay on the host CPU.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, WLSQM_TPU_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import wlsqm_tpu, jax; print(jax.devices()[0].platform)"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    assert out.stdout.strip().splitlines()[-1] == "cpu"

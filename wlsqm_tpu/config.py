@@ -23,6 +23,16 @@ _X64_WANTED = os.environ.get("WLSQM_TPU_NO_X64", "0") != "1"
 if _X64_WANTED:
     jax.config.update("jax_enable_x64", True)
 
+# WLSQM_TPU_PLATFORM=<name> pins jax_platforms at import (e.g. "cpu").
+# Unlike the JAX_PLATFORMS environment variable, this survives runtimes
+# whose site customization re-registers an accelerator platform at
+# interpreter start: the config update runs when wlsqm_tpu is imported,
+# after any sitecustomize.  Used by scripts that must run on the host
+# regardless of attached devices (benchmarks/run_reference_suite.sh).
+_PLATFORM = os.environ.get("WLSQM_TPU_PLATFORM")
+if _PLATFORM:
+    jax.config.update("jax_platforms", _PLATFORM)
+
 # On TPU, f32 contractions default to single-pass bf16 on the MXU (~8
 # mantissa bits) — catastrophic for normal-matrix assembly.  The critical
 # einsums pass precision=HIGHEST explicitly; this global default protects

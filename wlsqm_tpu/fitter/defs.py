@@ -218,3 +218,9 @@ def number_of_reduced_dofs(n: int, mask: int) -> int:
     (reference: wlsqm/fitter/infra.pyx:119-121)
     """
     return n - int(mask).bit_count()
+
+
+# star-import surface: every public constant and helper, minus the
+# ``from __future__`` artifact (it would otherwise leak into wlsqm_tpu.*)
+__all__ = [_n for _n in dir() if not _n.startswith("_")
+           and _n != "annotations"]

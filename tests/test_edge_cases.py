@@ -124,3 +124,27 @@ def test_unknown_weighting_id_rejected():
         wt.fit_many(xk, fk, order=2, weighting=7)
     with pytest.raises(ValueError, match="weighting must be"):
         wt.prepare(xk, np.zeros((8, 2)), order=2, weighting=7)
+
+
+def test_degenerate_neighborhood_is_flagged_not_silent(rng):
+    """Collinear neighbors (rank-deficient A) set ok=False, others unaffected.
+
+    The reference silently ignores LAPACK failures inside its OpenMP
+    regions (reference: TODO_DEFERRED.md:5-22); per-case status flags are
+    the batched improvement SURVEY §5 prescribes.  Both the forced-engine
+    and the auto-routed path must flag the singular case (the probe's
+    fail-safe routes such geometry to the f64 rung rather than the
+    clamped kernel).
+    """
+    B, K = 8, 12
+    xi = np.zeros((B, 2))
+    xk = rng.uniform(-1, 1, (B, K, 2))
+    t = np.linspace(-1, 1, K)
+    xk[3] = np.stack([t, 2 * t], -1)      # exactly collinear: rank < NO
+    fk = np.sin(xk[..., 0]) + xk[..., 1]
+    for backend in ("xla", "auto"):
+        res = wt.fit_many(xk, fk, xi, order=2, backend=backend)
+        ok = np.asarray(res.ok)
+        assert not ok[3], backend
+        assert ok[np.arange(B) != 3].all(), backend
+        assert not np.isfinite(np.asarray(res.fi)[3]).all(), backend

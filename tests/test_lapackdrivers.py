@@ -377,3 +377,124 @@ def test_rescale_rows_unit_norms(rng):
     np.testing.assert_allclose(np.linalg.norm(A, axis=1), 1.0, atol=1e-12)
     # returned factors reproduce the scaling
     np.testing.assert_allclose(A, A0 * rs[:, None] * cs[None, :], atol=1e-14)
+
+
+# -----------------------------------------------------------------------------
+# Remaining compat-surface variants: analytic 2x2, multi-RHS symmetric,
+# the *p aliases, copies/symmetrization, and the scaling-vector helpers
+# (reference: wlsqm/utils/lapackdrivers.pyx naming scheme at :5-27)
+# -----------------------------------------------------------------------------
+
+
+def test_general2x2_symmetric2x2_analytic(rng):
+    from wlsqm_tpu.utils.lapackdrivers import general2x2, symmetric2x2
+
+    A0 = rng.standard_normal((2, 2)) + 2 * np.eye(2)
+    b0 = rng.standard_normal(2)
+    b = b0.copy()
+    general2x2(A0.copy(), b)
+    np.testing.assert_allclose(b, np.linalg.solve(A0, b0), atol=1e-13)
+
+    S0 = A0 + A0.T
+    b = b0.copy()
+    symmetric2x2(S0.copy(), b)
+    np.testing.assert_allclose(b, np.linalg.solve(S0, b0), atol=1e-13)
+
+
+def test_symmetrics_multi_rhs_and_parallel_alias(rng):
+    from wlsqm_tpu.utils.lapackdrivers import symmetrics, symmetricsp
+
+    n, nrhs = 5, 3
+    A0 = rng.standard_normal((n, n))
+    A0 = A0 + A0.T + n * np.eye(n)
+    B0 = rng.standard_normal((n, nrhs))
+    want = np.linalg.solve(A0, B0)
+
+    B = np.asfortranarray(B0.copy())
+    symmetrics(np.asfortranarray(A0.copy()), B)
+    np.testing.assert_allclose(B, want, atol=1e-12)
+
+    B = np.asfortranarray(B0.copy())
+    symmetricsp(np.asfortranarray(A0.copy()), B, ntasks=4)
+    np.testing.assert_allclose(B, want, atol=1e-12)
+
+
+def test_parallel_aliases_match_serial(rng):
+    """The *p entries are API-compat aliases: identical results."""
+    from wlsqm_tpu.utils.lapackdrivers import (
+        generals, generalsp, mgeneral, mgeneralp,
+    )
+
+    n, nrhs, nb = 5, 3, 6
+    A0 = rng.standard_normal((n, n)) + n * np.eye(n)
+    B0 = rng.standard_normal((n, nrhs))
+    B1 = np.asfortranarray(B0.copy())
+    B2 = np.asfortranarray(B0.copy())
+    generals(np.asfortranarray(A0.copy()), B1)
+    generalsp(np.asfortranarray(A0.copy()), B2, ntasks=3)
+    np.testing.assert_array_equal(B1, B2)
+
+    Ab0 = rng.standard_normal((n, n, nb)) + n * np.eye(n)[:, :, None]
+    bb0 = rng.standard_normal((n, nb))
+    b1 = np.asfortranarray(bb0.copy())
+    b2 = np.asfortranarray(bb0.copy())
+    mgeneral(np.asfortranarray(Ab0.copy()), b1)
+    mgeneralp(np.asfortranarray(Ab0.copy()), b2, ntasks=3)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_mgeneralfactorp_factoredp_pair(rng):
+    from wlsqm_tpu.utils.lapackdrivers import (
+        mgeneralfactoredp, mgeneralfactorp,
+    )
+
+    n, nb = 5, 6
+    A0 = rng.standard_normal((n, n, nb)) + n * np.eye(n)[:, :, None]
+    A = np.asfortranarray(A0.copy())
+    ipiv = np.zeros((n, nb), np.int32, order="F")
+    mgeneralfactorp(A, ipiv, ntasks=4)
+    b0 = rng.standard_normal((n, nb))
+    b = np.asfortranarray(b0.copy())
+    mgeneralfactoredp(A, ipiv, b, ntasks=4)
+    for i in range(nb):
+        np.testing.assert_allclose(
+            b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
+
+
+def test_copies_and_symmetrize(rng):
+    from wlsqm_tpu.utils.lapackdrivers import (
+        copygeneral, copysymmu, symmetrize,
+    )
+
+    n = 4
+    I = rng.standard_normal((n, n))
+    O = np.zeros((n, n))
+    copygeneral(O, I)
+    np.testing.assert_array_equal(O, I)
+
+    O = np.full((n, n), 99.0)
+    copysymmu(O, I)                 # upper triangle of I into BOTH triangles
+    want = np.triu(I) + np.triu(I, 1).T
+    np.testing.assert_array_equal(O, want)
+    np.testing.assert_array_equal(O, O.T)
+
+    A = I.copy()
+    symmetrize(A)                   # in place from the upper triangle
+    np.testing.assert_array_equal(A, want)
+
+
+def test_init_apply_scaling(rng):
+    from wlsqm_tpu.utils.lapackdrivers import apply_scaling, init_scaling
+
+    n, m = 3, 4
+    rs, cs = init_scaling(n, m)
+    np.testing.assert_array_equal(rs, np.ones(n))
+    np.testing.assert_array_equal(cs, np.ones(m))
+
+    A0 = rng.standard_normal((n, m))
+    A = A0.copy()
+    rs = rng.uniform(0.5, 2.0, n)
+    cs = rng.uniform(0.5, 2.0, m)
+    apply_scaling(A, rs, cs)
+    np.testing.assert_allclose(A, A0 * rs[:, None] * cs[None, :],
+                               rtol=0, atol=1e-15)

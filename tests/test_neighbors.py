@@ -61,3 +61,20 @@ def test_native_kdtree_matches_scipy(rng):
     lists = t.query_ball_point(q[:20], 0.3)
     rl = ref.query_ball_point(q[:20], 0.3)
     assert all(sorted(a) == sorted(b) for a, b in zip(lists, rl))
+
+
+def test_host_tree_interface(rng):
+    """host_tree exposes query/query_ball_point and matches brute force."""
+    from wlsqm_tpu.utils.neighbors import host_tree
+
+    pts = rng.uniform(-1, 1, (200, 2))
+    tree = host_tree(pts)
+    q = rng.uniform(-1, 1, (7, 2))
+    d, idx = tree.query(q, k=3)
+    d2 = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1)[:, :3]
+    np.testing.assert_array_equal(np.sort(idx, 1), np.sort(want, 1))
+
+    ball = tree.query_ball_point(q[0], 0.5)
+    want_ball = np.nonzero(d2[0] <= 0.5 ** 2)[0]
+    assert set(map(int, ball)) == set(map(int, want_ball))

@@ -61,3 +61,22 @@ def test_orbax_roundtrip(tmp_path, rng):
     fi1, _ = wt.solve(prep, fk)
     fi2, _ = wt.solve(back, fk)
     np.testing.assert_array_equal(np.asarray(fi1), np.asarray(fi2))
+
+
+def test_state_dict_pair_roundtrip(rng):
+    """prepared_state_dict / prepared_from_state_dict: the flat-dict layer
+    shared by the npz and orbax helpers, usable with any checkpointer."""
+    from wlsqm_tpu.utils.serialization import (
+        prepared_from_state_dict, prepared_state_dict,
+    )
+
+    B, K = 32, 12
+    xk = rng.uniform(-1, 1, (B, K, 2))
+    prep = wt.prepare(xk, np.zeros((B, 2)), order=2)
+    state = prepared_state_dict(prep)
+    assert all(isinstance(k, str) for k in state)
+    prep2 = prepared_from_state_dict(state)
+    fk = np.sin(xk[..., 0])
+    fi1, _ = wt.solve(prep, fk)
+    fi2, _ = wt.solve(prep2, fk)
+    np.testing.assert_array_equal(np.asarray(fi1), np.asarray(fi2))

@@ -115,7 +115,12 @@ class KDTree:
         return d, idx
 
     def query_ball_point(self, x, r: float):
-        """All indices within radius r of each query; list of index lists."""
+        """All indices within radius r of each query; list of index lists.
+
+        Mirrors scipy.spatial.cKDTree: a single (dim,) query returns one
+        flat index list, an (m, dim) batch returns a list of m lists.
+        """
+        single = np.ndim(x) == 1
         x = np.ascontiguousarray(np.atleast_2d(x), dtype=np.float64)
         m = x.shape[0]
         counts = np.zeros(m, dtype=np.int64)
@@ -135,4 +140,5 @@ class KDTree:
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             self._nthreads)
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        return [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(m)]
+        out = [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(m)]
+        return out[0] if single else out

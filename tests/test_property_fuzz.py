@@ -9,6 +9,8 @@ the suite stays CI-sized; the deterministic configs remain the coverage
 backbone.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -44,7 +46,9 @@ def fit_configs(draw):
     return dimension, order, K, ragged, weighting, knowns, scale, seed
 
 
-@settings(max_examples=25, deadline=None,
+# CI default stays small; set WLSQM_TPU_FUZZ_EXAMPLES for soak runs
+@settings(max_examples=int(os.environ.get("WLSQM_TPU_FUZZ_EXAMPLES", "25")),
+          deadline=None,
           suppress_health_check=[hyp.HealthCheck.too_slow])
 @given(cfg=fit_configs())
 def test_fit_many_matches_oracle(cfg):

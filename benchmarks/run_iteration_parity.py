@@ -11,6 +11,12 @@ quantifies how the *returned counts* differ, per case, across regimes, so
 a reference user branching on the count knows the distribution
 (round-2 VERDICT "missing" #3).
 
+Extended follow-up to benchmarks/run_iter_parity.py (which produced the
+round-3 table in benchmarks/README.md): more configurations (noise
+levels, exactly-representable quartics, both weightings) and JSON
+aggregate output.  Its TPU run is queued in run_round3_queue.sh behind
+the relay outage.
+
 Run on TPU (single client on the axon bridge):
 
     python benchmarks/run_iteration_parity.py

@@ -24,7 +24,7 @@ if os.environ.get("PALLAS_AXON_POOL_IPS"):
 EOF
 
 ITEMS=("$@")
-[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(bench tile adjoint euler)
+[ ${#ITEMS[@]} -eq 0 ] && ITEMS=(bench tile adjoint euler iterparity)
 
 for item in "${ITEMS[@]}"; do
   case "$item" in
@@ -105,6 +105,10 @@ runpy.run_path("examples/euler_flow.py", run_name="__main__")
 print("total wall (compile + run): %.1f s" % (time.perf_counter() - t0))
 EOF
       ;;
+    iterparity)
+      echo "=== extended iteration-count parity (JSON) ==="
+      timeout 3600 python benchmarks/run_iteration_parity.py \
+        2>&1 | tee benchmarks/logs/iteration_parity.log ;;
     *) echo "unknown item: $item" >&2; exit 2 ;;
   esac
 done

@@ -27,8 +27,12 @@ Prints one table row per configuration and a JSON summary line.
 from __future__ import annotations
 
 import json
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import wlsqm_tpu as wt
 

@@ -76,15 +76,15 @@ print("forward step: %.4f s; backward/forward ratio: %.2f" % (dtf, dt / dtf))
 # parity of the VJP vs the engine jacobian on a small slice
 from wlsqm_tpu.fitter import engine
 NO = defs.number_of_dofs(2, 4)
-sl = slice(0, 256)
-args = (xk[sl], fk[sl], nk[sl], xi[sl], jnp.zeros((256, NO)),
-        jnp.full((256,), 4, jnp.int32), jnp.zeros((256,), jnp.int64),
-        jnp.full((256,), defs.WEIGHT_CENTER, jnp.int32))
+sl = slice(0, 1024)
+args = (xk[sl], fk[sl], nk[sl], xi[sl], jnp.zeros((1024, NO)),
+        jnp.full((1024,), 4, jnp.int32), jnp.zeros((1024,), jnp.int64),
+        jnp.full((1024,), defs.WEIGHT_CENTER, jnp.int32))
 fi64, s64, _, _ = engine.fit_batch(*args, dimension=2, NO=NO,
                                    precision="f64", do_sens=True)
 _, vjp = jax.vjp(lambda fk_: fit_pallas_diffable(xk[sl], fk_, nk[sl],
                                                  xi[sl], **kw), fk[sl])
-ct = jnp.ones((256, NO))
+ct = jnp.ones((1024, NO))
 got = np.asarray(vjp(ct)[0])
 want = np.asarray(jnp.einsum("bkj,bj->bk", jnp.nan_to_num(s64), ct))
 rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-30)

@@ -15,9 +15,13 @@ One compiled lax.scan per tile_s, scalar checksum carried through
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHUNK = 32768
 RESIDENT = 4

@@ -141,6 +141,22 @@ def test_scalar_case_params_raise_cleanly():
                                weighting_method=np.full(4, 1, np.int32))
 
 
+def test_algorithm_is_scalar_like_the_reference():
+    # The reference takes ONE `int algorithm` for the whole solver
+    # (wlsqm/fitter/expert.pyx:93); a per-case array must raise a clear
+    # TypeError, not numpy's ambiguous-truth-value error.  Size-1 arrays
+    # and numpy integer scalars coerce like the reference's int() would.
+    mk = dict(dimension=2, nk=np.full(4, 10, np.int64),
+              order=np.full(4, 2, np.int32), knowns=np.zeros(4, np.int64),
+              weighting_method=np.full(4, 1, np.int32))
+    with pytest.raises(TypeError, match="single ALGO_"):
+        wt.ExpertSolver(algorithm=np.full(4, wt.ALGO_BASIC), **mk)
+    wt.ExpertSolver(algorithm=np.int32(wt.ALGO_ITERATIVE), **mk)
+    wt.ExpertSolver(algorithm=np.array([wt.ALGO_BASIC]), **mk)
+    with pytest.raises(ValueError, match="Unknown algorithm"):
+        wt.ExpertSolver(algorithm=7, **mk)
+
+
 def test_conds_requires_debug(rng):
     es = _solver_2d(1, 20)
     es.prepare(xi=np.zeros((1, 2)), xk=rng.uniform(-1, 1, (1, 20, 2)))

@@ -24,6 +24,7 @@ device.
 
 from __future__ import annotations
 
+import operator
 from functools import partial
 
 import jax
@@ -136,6 +137,19 @@ class ExpertSolver:
                    weighting_method.shape[0]))
         if dimension not in (1, 2, 3):
             raise ValueError("Dimension must be 1, 2 or 3, got %s" % (dimension,))
+        # algorithm is a scalar in the reference too (one `int` for the whole
+        # solver, wlsqm/fitter/expert.pyx:93); a per-case array is a usage
+        # error — report it as one instead of numpy's ambiguous-truth-value
+        # error.  Size-1 arrays coerce like the reference's int() would.
+        try:
+            algorithm = operator.index(
+                algorithm.item() if isinstance(algorithm, np.ndarray)
+                and algorithm.size == 1 else algorithm)
+        except TypeError:
+            raise TypeError(
+                "algorithm must be a single ALGO_* integer for the whole "
+                "solver (the reference takes one int, not a per-case array); "
+                "got %r" % (type(algorithm).__name__,)) from None
         if algorithm not in (defs.ALGO_BASIC, defs.ALGO_ITERATIVE):
             raise ValueError(
                 "Unknown algorithm specifier %s; see wlsqm_tpu.fitter.defs "

@@ -90,10 +90,44 @@ def main():
             return u
         return multi_step_scan
 
+    # ds-state stepping: the field stays an f32 (hi, lo) pair across the
+    # whole scan — pair gather + pair solve + pair Euler update — so NO
+    # emulated-f64 op ever touches the (B, K) or (n, F) arrays inside a
+    # step.  f64 appears only at the scan boundary (one split / one render
+    # per 50-step scan call).
+    from wlsqm_tpu.fitter import engine_ds
+    from wlsqm_tpu.ops import twofloat as tf
+
+    def make_scan_pair():
+        dtnu = tf.from_f64(jnp.float64(dt * nu))
+
+        @jax.jit
+        def multi_step_scan(u):                          # u f64 (n, F)
+            up = tf.from_f64(u)
+
+            def step(up, _):
+                fkp = gth.gather_rows_pair(up, idx, gplan)   # pair (B,K,F)
+                fkp = (jnp.moveaxis(fkp[0], -1, 0),
+                       jnp.moveaxis(fkp[1], -1, 0))          # pair (F,B,K)
+                fip = jax.vmap(
+                    lambda h, l: engine_ds.solve_prepared_ds_pair(
+                        prep, (h, l)))(fkp[0], fkp[1])       # pair (F,B,NO)
+                lap = tf.add((fip[0][..., wt.i2_X2], fip[1][..., wt.i2_X2]),
+                             (fip[0][..., wt.i2_Y2], fip[1][..., wt.i2_Y2]))
+                lap = (lap[0].T, lap[1].T)                   # pair (n, F)
+                return tf.add(up, tf.mul(
+                    lap, (jnp.broadcast_to(dtnu[0], lap[0].shape),
+                          jnp.broadcast_to(dtnu[1], lap[0].shape)))), None
+
+            up, _ = jax.lax.scan(step, up, None, length=steps_per_scan)
+            return tf.to_f64(up)
+        return multi_step_scan
+
     variants = [("xla", make_scan(lambda u: u[idx]))]
     if gplan is not None:
         variants.append(("window", make_scan(
             lambda u: gth.gather_rows(u, idx, gplan))))
+        variants.append(("ds-state", make_scan_pair()))
 
     # WLSQM_IBVP_QUICK=1 measures only F=1,8 (fewer compiles — the remote
     # bridge pays tens of seconds per compile on a bad day)
@@ -115,10 +149,14 @@ def main():
         for F in (1, 8):
             sx, cx = rows[("xla", F)]
             sw, cw = rows[("window", F)]
+            sp, cp = rows[("ds-state", F)]
             assert abs(cx - cw) < 1e-6 * max(1.0, abs(cx)), \
                 "gather variants disagree"
-            print("F=%d: window gather %.2f ms vs xla %.2f ms  (%.2fx step "
-                  "speedup)" % (F, sw, sx, sx / sw), flush=True)
+            assert abs(cx - cp) < 1e-6 * max(1.0, abs(cx)), \
+                "ds-state stepping disagrees"
+            print("F=%d: window %.2f ms, ds-state %.2f ms vs xla %.2f ms "
+                  "(%.2fx / %.2fx step speedup)"
+                  % (F, sw, sp, sx, sx / sw, sx / sp), flush=True)
 
 
 if __name__ == "__main__":

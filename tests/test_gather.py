@@ -93,6 +93,52 @@ def test_dual_window_seam_crossing():
     np.testing.assert_array_equal(np.asarray(out), u[idx])
 
 
+@pytest.mark.parametrize("F", [1, 2])
+def test_gather_rows_pair_exact(F):
+    """ds-pair gather: both f32 planes come through bit-exactly."""
+    import jax.numpy as jnp
+
+    from wlsqm_tpu.ops import twofloat as tf
+
+    rng = np.random.default_rng(5)
+    n, B, K = 5000, 1024, 24
+    idx = _local_idx(rng, n, B, K)
+    plan = gather.plan_window_gather(idx, n)
+    assert plan is not None
+    u = rng.standard_normal((n, F) if F > 1 else n)
+    up = tf.from_f64(jnp.asarray(u))
+    hi, lo = gather.gather_rows_pair(up, idx, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(up[0])[idx])
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(up[1])[idx])
+    assert np.asarray(hi).dtype == np.float32
+
+
+def test_gather_rows_pair_overflow_fallback():
+    """Pair gather merges XLA-fallback rows for overflow blocks exactly."""
+    import jax.numpy as jnp
+
+    from wlsqm_tpu.ops import twofloat as tf
+
+    rng = np.random.default_rng(11)
+    n, B, K = 60000, 256, 12
+    base = rng.integers(0, 200, (B, 1))
+    idx = (base + rng.integers(0, 30, (B, K))).astype(np.int32)
+    blk = np.arange(B) // gather.BLOCK_T
+    three = blk % 4 == 0
+    c2 = 30000 + rng.integers(0, 30, (B, K))
+    c3 = 59000 + rng.integers(0, 30, (B, K))
+    pick = rng.integers(0, 3, (B, K))
+    idx = np.where(three[:, None] & (pick == 1), c2, idx)
+    idx = np.where(three[:, None] & (pick == 2), c3, idx)
+    plan = gather.plan_window_gather(idx.astype(np.int32), n)
+    assert plan is not None and plan.bad_blocks
+    up = tf.from_f64(jnp.asarray(rng.standard_normal(n)))
+    hi, lo = gather.gather_rows_pair(up, idx.astype(np.int32), plan,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(up[0])[idx])
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(up[1])[idx])
+
+
 def test_overflow_blocks_fall_back_to_xla_rows():
     """A minority of three-cluster blocks routes through the XLA gather
     for exactly their rows; the merged result is still bit-exact."""

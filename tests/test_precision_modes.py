@@ -97,3 +97,47 @@ def test_lu_solver_matches_cholesky(rng):
     srel = (np.abs(np.asarray(s_l) - np.asarray(s_c)).max()
             / np.abs(np.asarray(s_c)).max())
     assert srel < 1e-11
+
+
+def test_pair_solve_matches_ds_boundary(rng, monkeypatch):
+    """solve_prepared_ds_pair (pair in/out, zero f64 ops) renders to the
+    same values as the f64-boundary solve_prepared_ds at the ds
+    representation floor, with and without prescribed knowns."""
+    # mechanics/consistency only — both paths share the same (possibly
+    # CPU-degraded) pair arithmetic, so the comparison is backend-valid
+    monkeypatch.setenv("WLSQM_TPU_ALLOW_DEGRADED_DS", "1")
+    from wlsqm_tpu.fitter import engine_ds
+    from wlsqm_tpu.ops import twofloat as tf
+
+    B, K = 48, 25
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    fk = jnp.asarray(np.sin(xk[..., 0]) * np.cos(xk[..., 1]))
+
+    prep = wt.prepare(xk, xi, order=3, precision="ds",
+                      scaling="jacobi", solver="chol_unrolled")
+    fi_ref, _ = engine_ds.solve_prepared_ds(
+        prep, fk, jnp.zeros((B, prep.no_max)), False)
+    pair = engine_ds.solve_prepared_ds_pair(prep, tf.from_f64(fk))
+    np.testing.assert_allclose(np.asarray(tf.to_f64(pair)),
+                               np.asarray(fi_ref), atol=2e-15)
+
+    # knowns: pin F (Neumann-style seed), known slots pass through
+    kn = np.full(B, defs.b2_F, np.int64)
+    prep2 = wt.prepare(xk, xi, order=3, knowns=kn, precision="ds",
+                       scaling="jacobi", solver="chol_unrolled")
+    fi_seed = np.zeros((B, prep2.no_max))
+    fi_seed[:, defs.i2_F] = np.sin(xi[:, 0]) * np.cos(xi[:, 1])
+    fi_seed = jnp.asarray(fi_seed)
+    fi_ref2, _ = engine_ds.solve_prepared_ds(prep2, fk, fi_seed, False)
+    pair2 = engine_ds.solve_prepared_ds_pair(
+        prep2, tf.from_f64(fk), tf.from_f64(fi_seed))
+    out2 = np.asarray(tf.to_f64(pair2))
+    np.testing.assert_allclose(out2, np.asarray(fi_ref2), atol=2e-14)
+    # known slots pass through bitwise AS THE PAIR GIVEN (the f64 render
+    # differs from the seed only by the ds representation's ~2^-48 split)
+    seed_pair = tf.from_f64(fi_seed)
+    np.testing.assert_array_equal(np.asarray(pair2[0][:, defs.i2_F]),
+                                  np.asarray(seed_pair[0][:, defs.i2_F]))
+    np.testing.assert_array_equal(np.asarray(pair2[1][:, defs.i2_F]),
+                                  np.asarray(seed_pair[1][:, defs.i2_F]))

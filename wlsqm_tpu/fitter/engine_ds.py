@@ -384,6 +384,56 @@ def model_eval_ds(prep, fi):
         tf.mul(c, (fi[0][:, None, :], fi[1][:, None, :])), axis=-1)
 
 
+def solve_prepared_ds_pair(prep, fk_pair, fi_pair=None):
+    """Pair-in/pair-out basic solve: ZERO f64 ops, for ds-resident loops.
+
+    :func:`solve_prepared_ds` takes f64 ``fk`` and returns f64 ``fi`` —
+    on the TPU every elementwise f64 op on the (B, K)/(B, NO) boundary
+    arrays is software-emulated, which dominates tight stepping loops
+    (measured: the split/reassemble ops around the gather+solve cost more
+    than the solve itself, benchmarks/README.md "ds-state stepping").
+    Here ``fk_pair`` is a ds (hi, lo) f32 pair (B, K) and the result is a
+    ds pair (B, NO); combined with :func:`wlsqm_tpu.ops.gather.gather_rows_pair`
+    an IBVP step touches no f64 at all.
+
+    ``fi_pair`` (ds pair (B, NO)) supplies prescribed values for known
+    DOFs (reference knowns-elimination semantics,
+    reference: wlsqm/fitter/impl.pyx:789-818); known slots pass through to
+    the output.  With ``fi_pair=None`` known DOFs are treated as 0 and the
+    output carries zeros there.
+
+    Exactness note: ``prep.dof_scale`` is a power of two by construction
+    (exp2 of an integer exponent times an integer degree, see
+    :func:`prepare_ds`), so applying it per component in f32 is exact.
+    Rendered via ``tf.to_f64`` the result matches :func:`solve_prepared_ds`
+    at the ds representation floor (~1e-16 abs; with ``fi_pair=None`` the
+    zero-model subtraction is skipped, so residual pairs can carry a
+    different but value-equal (hi, lo) decomposition) — pinned in
+    tests/test_precision_modes.py.
+    """
+    kmask = prep.w > 0
+    fk_ds = _where_pair(kmask, fk_pair, _zero_pair_like(fk_pair))
+    if fi_pair is not None:
+        # dof_scale is +-pow2: per-component f32 scaling is exact
+        inv_dof = (1.0 / prep.dof_scale).astype(jnp.float32)
+        known_vals = _where_pair(
+            prep.known, (fi_pair[0] * inv_dof, fi_pair[1] * inv_dof),
+            _zero_pair_like(fi_pair))
+        model_known = model_eval_ds(prep, known_vals)
+        resid = _where_pair(kmask, tf.sub(fk_ds, model_known),
+                            _zero_pair_like(fk_ds))
+    else:
+        resid = fk_ds
+    b = rhs_ds(prep, resid)
+    x = solve_scaled_ds(prep, b)
+    fi_scaled = tf.mul_f32((x[0][..., 0], x[1][..., 0]), prep.col_scale)
+    dof32 = prep.dof_scale.astype(jnp.float32)
+    fi_out = (fi_scaled[0] * dof32, fi_scaled[1] * dof32)
+    if fi_pair is not None:
+        return _where_pair(prep.unknown, fi_out, fi_pair)
+    return _where_pair(prep.unknown, fi_out, _zero_pair_like(fi_out))
+
+
 def solve_prepared_ds(prep, fk, fi, do_sens):
     """ds-mode counterpart of engine.solve_prepared; fk/fi are f64."""
     kmask = prep.w > 0

@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["morton_order", "plan_window_gather", "gather_rows",
-           "GatherPlan"]
+           "gather_rows_pair", "GatherPlan"]
 
 #: cases per block (grid step); must be a multiple of 8 so T*K rows tile
 BLOCK_T = 16
@@ -243,6 +243,64 @@ def _prep_idx(idx, plan: GatherPlan):
     return flat[:, None, :]
 
 
+def _gather_planes(planes, idx, plan: GatherPlan, interpret: bool):
+    """Gather f32 planes ``planes[idx]``: (n, F2) -> (B, K, F2)."""
+    B, K = idx.shape
+    n = planes.shape[0]
+    pad_n = plan.n_pad - n
+    if pad_n > 0:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad_n, planes.shape[1]), jnp.float32)])
+    F2 = planes.shape[1]
+    F2p = -(-F2 // 8) * 8          # sublane-pad the feature-major planes
+    u2t = planes.T
+    if F2p > F2:
+        u2t = jnp.concatenate(
+            [u2t, jnp.zeros((F2p - F2, u2t.shape[1]), jnp.float32)])
+    out = _gather_f32(u2t, _prep_idx(idx, plan), plan,
+                      interpret=interpret)                # (nblk, F2p, TKp)
+    TK = plan.T * plan.K
+    out = out[:, :F2, :TK]                                # strip padding
+    return jnp.moveaxis(out, 1, 2).reshape(plan.nblk * plan.T, K, F2)[:B]
+
+
+def gather_rows_pair(u_pair, idx, plan: GatherPlan, *,
+                     interpret: bool = False):
+    """``u[idx]`` for a double-single (hi, lo) f32 pair — no f64 ops at all.
+
+    For ds-resident state (e.g. an IBVP field kept as an f32 pair across
+    steps, :mod:`wlsqm_tpu.ops.twofloat`), :func:`gather_rows` would round
+    through f64 — paying emulated-f64 elementwise ops on the (B, K) result
+    every step.  This variant feeds both planes straight through the
+    one-hot selection matmul, which is exact for any FINITE f32 payload (a
+    0/1 matrix never mixes values; NaN/Inf payloads would poison the zero
+    products — use :func:`gather_rows` for those).  u_pair: (hi, lo), each
+    (n,) or (n, F) f32.  Returns the gathered pair with the same
+    trailing-axis convention as ``u[idx]``.
+    """
+    hi = jnp.asarray(u_pair[0], jnp.float32)
+    lo = jnp.asarray(u_pair[1], jnp.float32)
+    idx = jnp.asarray(idx, jnp.int32)
+    squeeze = hi.ndim == 1
+    hi2 = hi[:, None] if squeeze else hi
+    lo2 = lo[:, None] if squeeze else lo
+    F = hi2.shape[1]
+    planes = jnp.concatenate([hi2, lo2], axis=1)          # (n, 2F)
+    out = _gather_planes(planes, idx, plan, interpret)    # (B, K, 2F)
+    res_hi, res_lo = out[..., :F], out[..., F:]
+    if plan.bad_blocks:
+        B = idx.shape[0]
+        rows = np.concatenate([
+            np.arange(b * plan.T, min((b + 1) * plan.T, B))
+            for b in plan.bad_blocks]).astype(np.int32)
+        rows_j = jnp.asarray(rows)
+        res_hi = res_hi.at[rows_j].set(hi2[idx[rows_j]])
+        res_lo = res_lo.at[rows_j].set(lo2[idx[rows_j]])
+    if squeeze:
+        return res_hi[..., 0], res_lo[..., 0]
+    return res_hi, res_lo
+
+
 def gather_rows(u, idx, plan: GatherPlan, *, interpret: bool = False):
     """``u[idx]`` through the window kernel; u (n, F) or (n,), idx (B, K).
 
@@ -291,21 +349,7 @@ def gather_rows(u, idx, plan: GatherPlan, *, interpret: bool = False):
                 "4-byte integer payloads need exact bitcasts, which this "
                 "backend cannot lower; use a float view")
         planes = u2d.astype(jnp.float32)                        # (n, F)
-    pad_n = plan.n_pad - n
-    if pad_n > 0:
-        planes = jnp.concatenate(
-            [planes, jnp.zeros((pad_n, planes.shape[1]), jnp.float32)])
-    F2 = planes.shape[1]
-    F2p = -(-F2 // 8) * 8          # sublane-pad the feature-major planes
-    u2t = planes.T
-    if F2p > F2:
-        u2t = jnp.concatenate(
-            [u2t, jnp.zeros((F2p - F2, u2t.shape[1]), jnp.float32)])
-    out = _gather_f32(u2t, _prep_idx(idx, plan), plan,
-                      interpret=interpret)                # (nblk, F2p, TKp)
-    TK = plan.T * plan.K
-    out = out[:, :F2, :TK]                                # strip padding
-    out = jnp.moveaxis(out, 1, 2).reshape(plan.nblk * plan.T, K, F2)[:B]
+    out = _gather_planes(planes, idx, plan, interpret)    # (B, K, F2)
     if bit_exact:
         halves_out = out.reshape(B, K, F, W, 2).astype(jnp.uint32)
         words_out = (halves_out[..., 0]

@@ -26,7 +26,14 @@ import numpy as np
 
 CHUNK = 32768
 RESIDENT_CHUNKS = 8
-SWEEP_STEPS = 32           # chunks per timed scan (cycled over the residents)
+# chunks per timed scan (cycled over the residents).  The timed region must
+# dwarf the remote bridge's ~25 ms per-dispatch latency: at 32 steps the
+# sweep lasted ~65 ms and session-to-session spread reached ±20%
+# (BASELINE.md round-3 note); 384 steps push the device-side work to
+# ~0.5-1 s so the fixed dispatch cost is <5% and the median-of-5 protocol
+# below resolves real kernel regressions.
+SWEEP_STEPS = 384
+TIMED_REPS = 5             # median-of-N timed sweeps; spread is reported
 K = 30
 NO = 15                    # 2D order 4
 BASELINE_FITS_PER_SEC = 5.0e6   # 64-core OpenMP Cython estimate; BASELINE.md
@@ -181,14 +188,17 @@ def main():
     log("compile+first sweep: %.1f s" % (time.perf_counter() - t0))
 
     times = []
-    for _ in range(3):
+    for _ in range(TIMED_REPS):
         t0 = time.perf_counter()
         float(sweep(xks, fks))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    times.sort()
+    dt = times[len(times) // 2]          # median: robust to bridge hiccups
+    spread = (times[-1] - times[0]) / dt
     fits = SWEEP_STEPS * CHUNK
     fits_per_sec = fits / dt
-    log("%d fits in %.3f s -> %.3f M fits/s" % (fits, dt, fits_per_sec / 1e6))
+    log("%d fits in %.3f s (median of %d; spread %.1f%%) -> %.3f M fits/s"
+        % (fits, dt, TIMED_REPS, 100 * spread, fits_per_sec / 1e6))
 
     # --- parity check vs an independent NumPy/LAPACK float64 pipeline ------
     # round 3: 1024 cases across two distinct chunks (the headline claim
@@ -213,6 +223,8 @@ def main():
         "precision_mode": precision,
         "chunk": CHUNK,
         "sweep_seconds": round(dt, 4),
+        "sweep_spread_rel": round(spread, 4),
+        "refine_steps": refine_steps,
     }
     print(json.dumps(result), flush=True)
 

@@ -149,11 +149,21 @@ def supported(dimension: int, order, knowns, weighting, K: int | None = None,
     return bool(ok)
 
 
-def _basis_cols(ns, delta_cols, exp, invfact_planes):
-    """Baked basis values c_j for one neighbor, from per-axis offsets.
+def _basis_cols(ns, delta_cols, exp, invfact_planes=None):
+    """Basis values c_j for one neighbor, from per-axis offsets.
 
     delta_cols: list of per-axis plane tuples (each plane an (8,128) tile).
     Returns a list of NO plane tuples.
+
+    With ``invfact_planes=None`` (the kernel's default since round 4) the
+    columns are PLAIN monomials: the 1/m! factorial normalization of the
+    reference's baked basis (wlsqm/fitter/impl.pyx:119-157) commutes with
+    the whole solve — scaling basis columns by constants scales the
+    solution components inversely and the Jacobi preconditioner absorbs
+    the normal-matrix change exactly — so it is applied OUTSIDE the
+    kernel, folded into the exact-f64 DOF de-scale.  That removes ~11
+    extended-precision constant multiplies per neighbor per case at 2D
+    order 4.
     """
     dim = len(delta_cols)
     max_pow = int(exp.max()) if exp.size else 0
@@ -183,10 +193,11 @@ def _basis_cols(ns, delta_cols, exp, invfact_planes):
             one = jnp.ones_like(delta_cols[0][0])
             zero = jnp.zeros_like(one)
             val = (one,) + (zero,) * (len(delta_cols[0]) - 1)
-        cplanes = invfact_planes[j]
-        if cplanes[0] != 1.0 or any(p != 0.0 for p in cplanes[1:]):
-            val = ns.mul(val, tuple(jnp.full_like(val[0], p)
-                                    for p in cplanes))
+        if invfact_planes is not None:
+            cplanes = invfact_planes[j]
+            if cplanes[0] != 1.0 or any(p != 0.0 for p in cplanes[1:]):
+                val = ns.mul(val, tuple(jnp.full_like(val[0], p)
+                                        for p in cplanes))
         out.append(val)
     return out
 
@@ -204,8 +215,6 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
     deg = tables.DEGREE[dimension][:NO]
-    invf = tables.INV_FACT[dimension][:NO]
-    invfact_planes = [_const_planes(float(v), NPL) for v in invf]
     # static knowns bitmask: the reduced system is just index bookkeeping
     # at trace time (reference eliminates algebraically and remaps indices,
     # wlsqm/fitter/impl.pyx:789-818; here known DOFs get identity rows and
@@ -264,12 +273,12 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             r[...] = jnp.zeros_like(r)
 
         def basis_at(k):
-            """Radius-scaled basis row for neighbor k (recomputable)."""
+            """Radius-scaled plain-monomial basis row for neighbor k."""
             dcols = []
             for a in range(dimension):
                 d = ns.mul_f32(at(d_refs, k, a), inv_s)
                 dcols.append(d)
-            return dcols, _basis_cols(ns, dcols, exp, invfact_planes)
+            return dcols, _basis_cols(ns, dcols, exp)
 
         if weighting == defs.WEIGHT_CENTER:
             beta_planes = _const_planes(1.0 - 1e-4, NPL)
@@ -654,14 +663,23 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
         # exact-f64 max squared radius for the weight normalization,
         # already computed for the radius prescale above
         args += [to_tiles1(p) for p in ns.from_f64(h2)]
+    # factorial normalization of the reference's baked DOFs, applied
+    # outside the kernel (see _basis_cols): fi = y_plain * fact * 2^(-e*deg).
+    # Every factor is an exact small integer (≤ 24) so the f64 de-scale
+    # still rounds exactly once per DOF.
+    from math import factorial
+
+    exp_t = tables.EXPONENTS[dimension][:NO]
+    fact = jnp.asarray([float(np.prod([factorial(int(v)) for v in row]))
+                        for row in exp_t], jnp.float64)
     if KN:
-        # prescribed known DOF values, moved to the radius-scaled space with
-        # the exact power-of-two factor (fi = x_hat * 2^(-e*deg))
+        # prescribed known DOF values, moved to the kernel's radius-scaled
+        # plain-monomial space (y_hat = fi / fact * 2^(e*deg))
         gi = (jnp.zeros((B, NO), jnp.float64) if fi_init is None
               else jnp.asarray(fi_init, jnp.float64))
         degs = jnp.asarray(deg, jnp.float64)[None, :]
-        gihat = gi[:, KN] * jnp.exp2(e_s.astype(jnp.float64)[:, None]
-                                     * degs[:, KN])
+        gihat = (gi[:, KN] / fact[None, KN]
+                 * jnp.exp2(e_s.astype(jnp.float64)[:, None] * degs[:, KN]))
         args += [to_tiles(p) for p in ns.from_f64(gihat)]
     args = tuple(args)
 
@@ -728,8 +746,10 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
 
     fi_scaled = sum(from_tiles(outs[p]).astype(jnp.float64)
                     for p in range(NPL))
-    dof_scale = jnp.exp2(-e_s.astype(jnp.float64)[:, None]
-                         * jnp.asarray(deg, jnp.float64)[None, :])
+    # exact: fact * 2^m is exactly representable (small-integer mantissa)
+    dof_scale = fact[None, :] * jnp.exp2(
+        -e_s.astype(jnp.float64)[:, None]
+        * jnp.asarray(deg, jnp.float64)[None, :])
     fi = fi_scaled * dof_scale
     if KN:
         # the planes carry finitely many bits; restore the prescribed

@@ -109,7 +109,10 @@ def main():
         planes = jnp.concatenate(
             [planes, jnp.zeros((pad_n, 2), jnp.float32)])
         u2t = planes.T
-        u2t = jnp.concatenate([u2t, jnp.zeros((6, gplan.n_pad), jnp.float32)])
+        F2 = u2t.shape[0]
+        F2p = -(-F2 // 8) * 8          # sublane pad, same rule as the kernel
+        u2t = jnp.concatenate(
+            [u2t, jnp.zeros((F2p - F2, gplan.n_pad), jnp.float32)])
         raw = gth._gather_f32(u2t, gth._prep_idx(idx, gplan), gplan)
         # consume in native layout: lane-sum (exact order differs; this is
         # a timing probe, not a numerics path)

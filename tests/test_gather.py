@@ -113,6 +113,29 @@ def test_gather_rows_pair_exact(F):
     assert np.asarray(hi).dtype == np.float32
 
 
+def test_gather_shape_validation():
+    """Mismatched (hi, lo) planes or a u/plan length mismatch raise a
+    clear ValueError instead of an opaque kernel-shape error."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    n, B, K = 4000, 512, 16
+    idx = _local_idx(rng, n, B, K)
+    plan = gather.plan_window_gather(idx, n)
+    assert plan is not None
+    u = jnp.asarray(rng.standard_normal(n))
+    with pytest.raises(ValueError, match="identical shapes"):
+        gather.gather_rows_pair((u.astype(jnp.float32),
+                                 jnp.zeros(n - 1, jnp.float32)),
+                                idx, plan, interpret=True)
+    with pytest.raises(ValueError, match="rebuild the plan"):
+        gather.gather_rows(jnp.zeros(n + 128), idx, plan, interpret=True)
+    with pytest.raises(ValueError, match="rebuild the plan"):
+        gather.gather_rows_pair((jnp.zeros(n - 8, jnp.float32),
+                                 jnp.zeros(n - 8, jnp.float32)),
+                                idx, plan, interpret=True)
+
+
 def test_gather_rows_pair_overflow_fallback():
     """Pair gather merges XLA-fallback rows for overflow blocks exactly."""
     import jax.numpy as jnp

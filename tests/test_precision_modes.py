@@ -141,3 +141,41 @@ def test_pair_solve_matches_ds_boundary(rng, monkeypatch):
                                   np.asarray(seed_pair[0][:, defs.i2_F]))
     np.testing.assert_array_equal(np.asarray(pair2[1][:, defs.i2_F]),
                                   np.asarray(seed_pair[1][:, defs.i2_F]))
+
+
+def test_pair_solve_extreme_radius(rng, monkeypatch):
+    """dof_scale beyond the f32 exponent range must not corrupt the
+    pair solve (regression: the single f32 cast of 2^(e_s*deg) overflowed
+    for |e_s|*deg > ~126; now applied as two balanced pow2 factors)."""
+    monkeypatch.setenv("WLSQM_TPU_ALLOW_DEGRADED_DS", "1")
+    from wlsqm_tpu.fitter import engine_ds
+    from wlsqm_tpu.ops import twofloat as tf
+
+    B, K = 16, 20
+    # nearly-flat data, so the DOF values themselves stay representable
+    # in an f32 pair while dof_scale = 2^(|e_s|*deg) ~ 2^±160 does not
+    # survive a single f32 cast (old code: inf/0 -> inf or NaN output).
+    for spacing in (1e-12, 1e12):
+        xi = rng.uniform(-1, 1, (B, 2)) * spacing
+        xk = xi[:, None, :] + rng.uniform(-1, 1, (B, K, 2)) * spacing
+        # exactly quadratic in the scaled coordinate: deg>=3 DOFs are pure
+        # solve-noise (identical x-hat in both paths), deg<=2 DOFs are
+        # large-but-f32-representable true values
+        t = xk[..., 0] / spacing
+        fk = jnp.asarray(1.0 + 0.5 * t + 0.25 * t * t)
+        prep = wt.prepare(xk, xi, order=4, precision="ds",
+                          scaling="jacobi", solver="chol_unrolled")
+        fi_ref, _ = engine_ds.solve_prepared_ds(
+            prep, fk, jnp.zeros((B, prep.no_max)), False)
+        pair = engine_ds.solve_prepared_ds_pair(prep, tf.from_f64(fk))
+        out = np.asarray(tf.to_f64(pair))
+        ref = np.asarray(fi_ref)
+        assert np.isfinite(out).all(), spacing
+        # F (and every pair-representable DOF) must match the
+        # f64-boundary path.  Below ~1e-30 the pair's lo plane falls into
+        # f32 subnormals (hi ~ 2^-101 => lo subnormal), so full ~2^-48
+        # pair precision only exists above that floor; judge columns
+        # against it (smaller magnitudes may flush or round f32-grade).
+        den = np.maximum(np.abs(ref).max(axis=0), 1e-30)
+        rel = (np.abs(out - ref) / den[None, :]).max()
+        assert rel < 1e-9, (spacing, rel)

@@ -384,6 +384,25 @@ def model_eval_ds(prep, fi):
         tf.mul(c, (fi[0][:, None, :], fi[1][:, None, :])), axis=-1)
 
 
+def _pow2_f32_factors(scale, invert=False):
+    """Split an exact f64 power of two into two exact f32 pow2 factors.
+
+    ``scale`` is ``exp2(-e_s * deg)`` by construction (:func:`prepare_ds`).
+    A single f32 cast overflows/underflows once ``|e_s| * deg`` exceeds
+    ~126 (point spacings beyond ~1e-9 at order 4); splitting the exponent
+    in halves keeps every factor — and the balanced intermediate product —
+    exactly representable out to ``|e_s| * deg <= 252``, i.e. the full f64
+    normal range of the scale itself.  Multiplying a pair component by the
+    two factors in sequence stays exact (each factor is a power of two).
+    """
+    e = jnp.round(jnp.log2(jnp.abs(scale)))     # exact: scale is +-2^e
+    if invert:
+        e = -e
+    h = jnp.trunc(e * 0.5)
+    return (jnp.exp2(h).astype(jnp.float32),
+            jnp.exp2(e - h).astype(jnp.float32))
+
+
 def solve_prepared_ds_pair(prep, fk_pair, fi_pair=None):
     """Pair-in/pair-out basic solve: ZERO f64 ops, for ds-resident loops.
 
@@ -415,9 +434,9 @@ def solve_prepared_ds_pair(prep, fk_pair, fi_pair=None):
     fk_ds = _where_pair(kmask, fk_pair, _zero_pair_like(fk_pair))
     if fi_pair is not None:
         # dof_scale is +-pow2: per-component f32 scaling is exact
-        inv_dof = (1.0 / prep.dof_scale).astype(jnp.float32)
+        ia, ib = _pow2_f32_factors(prep.dof_scale, invert=True)
         known_vals = _where_pair(
-            prep.known, (fi_pair[0] * inv_dof, fi_pair[1] * inv_dof),
+            prep.known, (fi_pair[0] * ia * ib, fi_pair[1] * ia * ib),
             _zero_pair_like(fi_pair))
         model_known = model_eval_ds(prep, known_vals)
         resid = _where_pair(kmask, tf.sub(fk_ds, model_known),
@@ -427,8 +446,8 @@ def solve_prepared_ds_pair(prep, fk_pair, fi_pair=None):
     b = rhs_ds(prep, resid)
     x = solve_scaled_ds(prep, b)
     fi_scaled = tf.mul_f32((x[0][..., 0], x[1][..., 0]), prep.col_scale)
-    dof32 = prep.dof_scale.astype(jnp.float32)
-    fi_out = (fi_scaled[0] * dof32, fi_scaled[1] * dof32)
+    da, db = _pow2_f32_factors(prep.dof_scale)
+    fi_out = (fi_scaled[0] * da * db, fi_scaled[1] * da * db)
     if fi_pair is not None:
         return _where_pair(prep.unknown, fi_out, fi_pair)
     return _where_pair(prep.unknown, fi_out, _zero_pair_like(fi_out))

@@ -96,6 +96,7 @@ class GatherPlan:
     nblk: int
     T: int             # cases per block
     K: int
+    n: int             # rows of the cloud the plan was built for
     n_pad: int         # padded u rows (>= max(start) + WINDOW)
     window: int
 
@@ -152,7 +153,8 @@ def plan_window_gather(idx, n: int, *, block_t: int = BLOCK_T,
                     axis=1)
     return GatherPlan(meta=tuple(int(v) for v in meta.ravel()),
                       bad_blocks=tuple(int(b) for b in np.nonzero(bad)[0]),
-                      nblk=nblk, T=block_t, K=K, n_pad=n_pad, window=window)
+                      nblk=nblk, T=block_t, K=K, n=int(n), n_pad=n_pad,
+                      window=window)
 
 
 def _gather_kernel(meta_ref, idx_ref, u_hbm, out_ref, win, sem, *,
@@ -280,6 +282,14 @@ def gather_rows_pair(u_pair, idx, plan: GatherPlan, *,
     """
     hi = jnp.asarray(u_pair[0], jnp.float32)
     lo = jnp.asarray(u_pair[1], jnp.float32)
+    if hi.shape != lo.shape:
+        raise ValueError(
+            "gather_rows_pair: (hi, lo) planes must have identical shapes, "
+            f"got {hi.shape} vs {lo.shape}")
+    if hi.shape[0] != plan.n:
+        raise ValueError(
+            f"gather_rows_pair: u has {hi.shape[0]} rows but the GatherPlan "
+            f"was built for n={plan.n}; rebuild the plan for this cloud")
     idx = jnp.asarray(idx, jnp.int32)
     squeeze = hi.ndim == 1
     hi2 = hi[:, None] if squeeze else hi
@@ -318,6 +328,10 @@ def gather_rows(u, idx, plan: GatherPlan, *, interpret: bool = False):
     u2d = u[:, None] if squeeze else u
     F = u2d.shape[1]
     n = u2d.shape[0]
+    if n != plan.n:
+        raise ValueError(
+            f"gather_rows: u has {n} rows but the GatherPlan was built "
+            f"for n={plan.n}; rebuild the plan for this cloud")
     itemsize = u2d.dtype.itemsize
     if itemsize not in (4, 8):
         raise TypeError("gather_rows supports 4- and 8-byte dtypes; got %s"

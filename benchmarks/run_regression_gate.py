@@ -1,0 +1,260 @@
+"""Performance regression gate: fail if any recorded row drops >10%.
+
+Re-measures the five performance-critical rows with the hardened
+device-side protocol (compiled scan over resident chunks, >=0.5 s timed
+region, median of reps, checksum-synced — the same protocol as bench.py)
+and compares against ``benchmarks/perf_reference.json``:
+
+  headline   2D order-4 K=30 WEIGHT_CENTER ds kernel      (M fits/s)
+  iterative  + ALGO_ITERATIVE max_iter=3                  (M fits/s)
+  sens       + in-kernel sensitivities                    (M fits/s)
+  dim3       3D order-4 K=48 (NO=35, recompute-basis)     (M fits/s)
+  gather     window-gather IBVP step, F=1, 20,480 pts     (ms/step)
+
+Run:    python benchmarks/run_regression_gate.py            # gate (rc!=0 on fail)
+        python benchmarks/run_regression_gate.py --update   # re-record reference
+        python benchmarks/run_regression_gate.py --rows headline,gather
+
+A >10% drop on any row (or >10% rise for ms rows) fails the gate; the
+wall-clock session noise of the old protocol (±20%, BASELINE.md:71) is
+below 2% under this one, so 10% is a real regression, not noise.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "perf_reference.json")
+TOLERANCE = 0.10
+MIN_TIMED_S = 0.5
+
+
+def _measure_rate(fit_chunk, xks, fks, chunk, reps=5):
+    """Median fits/s over ``reps`` of a >= MIN_TIMED_S compiled scan."""
+    import jax
+    import jax.numpy as jnp
+
+    nres = xks.shape[0]
+
+    def sweep_fn(steps):
+        @jax.jit
+        def sweep(xks, fks):
+            def step(acc, i):
+                fi = fit_chunk(xks[i % nres], fks[i % nres])
+                return acc + fi.sum(), None
+            acc, _ = jax.lax.scan(step, jnp.float64(0.0),
+                                  jnp.arange(steps))
+            return acc
+        return sweep
+
+    steps = 8
+    sweep = sweep_fn(steps)
+    t0 = time.perf_counter()
+    float(sweep(xks, fks))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(sweep(xks, fks))
+    dt = time.perf_counter() - t0
+    if dt < MIN_TIMED_S:                      # grow to the 0.5 s region
+        steps = max(steps, int(np.ceil(steps * MIN_TIMED_S / max(dt, 1e-3))))
+        sweep = sweep_fn(steps)
+        float(sweep(xks, fks))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(sweep(xks, fks))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    spread = (times[-1] - times[0]) / med
+    return steps * chunk / med, spread, compile_s
+
+
+def _chunks(key, chunk, K, dim, nres=2):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def make(key):
+        k1, k2 = jax.random.split(key)
+        xk = jax.random.uniform(k1, (chunk, K, dim), jnp.float64, -1.0, 1.0)
+        fk = jnp.sin(3.0 * xk[..., 0]) * jnp.cos(2.0 * xk[..., -1])
+        fk = fk + 0.01 * jax.random.normal(k2, (chunk, K))
+        return xk, fk
+    xs, fs = [], []
+    for _ in range(nres):
+        key, sub = jax.random.split(key)
+        xk, fk = make(sub)
+        xs.append(xk)
+        fs.append(fk)
+    out = jnp.stack(xs), jnp.stack(fs)
+    jax.block_until_ready(out)
+    return key, out
+
+
+def _kernel_row(key, *, dim=2, order=4, K=30, chunk=32768, do_sens=False,
+                max_iter=0, refine_steps=2):
+    import jax.numpy as jnp
+
+    from wlsqm_tpu.fitter import defs
+    from wlsqm_tpu.ops.pallas_fit import fit_pallas
+
+    key, (xks, fks) = _chunks(key, chunk, K, dim)
+    nk = jnp.full((chunk,), K, jnp.int32)
+    xi = jnp.zeros((chunk, dim))
+
+    def fit_chunk(xk, fk):
+        out = fit_pallas(xk, fk, nk, xi, dimension=dim, order=order,
+                         weighting=defs.WEIGHT_CENTER,
+                         refine_steps=refine_steps, do_sens=do_sens,
+                         max_iter=max_iter)
+        return out[0] if isinstance(out, tuple) else out
+
+    rate, spread, compile_s = _measure_rate(fit_chunk, xks, fks, chunk)
+    return key, rate / 1e6, spread, compile_s
+
+
+def _gather_row(key):
+    """F=1 ds IBVP heat step with the window gather (ms/step)."""
+    import jax
+    import jax.numpy as jnp
+
+    import wlsqm_tpu as wt
+    from wlsqm_tpu.fitter import engine_ds
+    from wlsqm_tpu.ops import gather as gth
+    from wlsqm_tpu.ops import twofloat as tf
+    import scipy.spatial as sp
+
+    rng = np.random.default_rng(11)
+    n, K = 20480, 28
+    pts = rng.uniform(-1, 1, (n, 2))
+    pts = pts[gth.morton_order(pts)]
+    _, idx = sp.cKDTree(pts).query(pts, k=K)
+    idx = jnp.asarray(idx.astype(np.int32))
+    plan = gth.plan_window_gather(np.asarray(idx), n)
+    prep = wt.prepare(jnp.asarray(pts)[idx], jnp.asarray(pts), order=2,
+                      precision="ds", scaling="jacobi",
+                      solver="chol_unrolled")
+    u0 = tf.from_f64(jnp.asarray(
+        np.sin(3 * pts[:, 0]) * np.cos(2 * pts[:, 1])))
+    dtnu = tf.from_f64(jnp.float64(1e-5))
+
+    def step(up, _):
+        fkp = gth.gather_rows_pair(up, idx, plan)
+        fip = engine_ds.solve_prepared_ds_pair(prep, fkp)
+        lap = tf.add((fip[0][:, wt.i2_X2], fip[1][:, wt.i2_X2]),
+                     (fip[0][:, wt.i2_Y2], fip[1][:, wt.i2_Y2]))
+        return tf.add(up, tf.mul(lap, (
+            jnp.broadcast_to(dtnu[0], lap[0].shape),
+            jnp.broadcast_to(dtnu[1], lap[0].shape)))), None
+
+    def sweep_fn(steps):
+        @jax.jit
+        def sweep(up):
+            out, _ = jax.lax.scan(step, up, None, length=steps)
+            return out[0].sum() + out[1].sum()
+        return sweep
+
+    steps = 32
+    sweep = sweep_fn(steps)
+    float(sweep(u0))
+    t0 = time.perf_counter()
+    float(sweep(u0))
+    dt = time.perf_counter() - t0
+    if dt < MIN_TIMED_S:
+        steps = max(steps, int(np.ceil(steps * MIN_TIMED_S / max(dt, 1e-3))))
+        sweep = sweep_fn(steps)
+        float(sweep(u0))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(sweep(u0))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    spread = (times[-1] - times[0]) / med
+    return key, med / steps * 1e3, spread
+
+
+ROWS = {
+    "headline": dict(kind="rate", unit="M fits/s",
+                     fn=lambda key: _kernel_row(key)),
+    "iterative": dict(kind="rate", unit="M fits/s",
+                      fn=lambda key: _kernel_row(key, max_iter=3)),
+    "sens": dict(kind="rate", unit="M fits+sens/s",
+                 fn=lambda key: _kernel_row(key, do_sens=True, chunk=8192)),
+    "dim3": dict(kind="rate", unit="M fits/s",
+                 fn=lambda key: _kernel_row(key, dim=3, K=48, chunk=8192)),
+    "gather": dict(kind="ms", unit="ms/step", fn=None),  # special-cased
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--update", action="store_true",
+                    help="record current measurements as the reference")
+    ap.add_argument("--rows", default=None,
+                    help="comma-separated subset of rows to run")
+    args = ap.parse_args()
+
+    from bench import _axon_relay_preflight
+
+    if not _axon_relay_preflight(120):
+        print("axon relay unreachable; cannot gate", file=sys.stderr)
+        sys.exit(2)
+
+    import jax
+
+    import wlsqm_tpu  # noqa: F401
+
+    key = jax.random.PRNGKey(7)
+    try:
+        with open(REF_PATH) as f:
+            ref = json.load(f)
+    except (OSError, ValueError):
+        ref = {}
+
+    names = (args.rows.split(",") if args.rows else list(ROWS))
+    results, failures = {}, []
+    for name in names:
+        spec = ROWS[name]
+        if name == "gather":
+            key, value, spread = _gather_row(key)
+        else:
+            key, value, spread, _ = spec["fn"](key)
+        results[name] = {"value": round(value, 4), "unit": spec["unit"],
+                         "spread": round(spread, 4)}
+        line = f"{name:10s} {value:10.3f} {spec['unit']:14s} (spread {spread:.1%})"
+        old = ref.get(name, {}).get("value")
+        if old is not None and not args.update:
+            if spec["kind"] == "rate":
+                bad = value < old * (1 - TOLERANCE)
+            else:
+                bad = value > old * (1 + TOLERANCE)
+            line += f"   ref {old:.3f} -> {'FAIL' if bad else 'ok'}"
+            if bad:
+                failures.append(name)
+        print(line, flush=True)
+
+    if args.update:
+        ref.update(results)
+        with open(REF_PATH, "w") as f:
+            json.dump(ref, f, indent=1, sort_keys=True)
+        print(f"reference updated: {REF_PATH}")
+        return
+    if failures:
+        print(f"REGRESSION: {failures} dropped >10% from the recorded "
+              "reference", file=sys.stderr)
+        sys.exit(1)
+    print("gate passed")
+
+
+if __name__ == "__main__":
+    main()

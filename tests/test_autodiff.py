@@ -187,6 +187,7 @@ def test_fixed_trip_iterative_matches_while_loop(rng):
     assert int(it_w.max()) >= 1  # refinement actually ran
 
 
+@pytest.mark.full
 def test_fixed_trip_iterative_matches_while_loop_ds(rng):
     """The ds engine's fixed_trip form is also bit-identical to its
     while_loop form (pair arithmetic identical either way)."""
@@ -316,6 +317,7 @@ def test_adjoint_through_time_stepping(rng):
     assert abs(float(g[17]) - float(fd)) < 1e-5 * max(abs(float(fd)), 1.0)
 
 
+@pytest.mark.full
 def test_kernel_adjoint_matches_engine_grad(rng):
     """fit_pallas_diffable: reverse mode through the fused kernel (via
     its sensitivity-array VJP) matches the engine gradient to kernel
@@ -346,6 +348,7 @@ def test_kernel_adjoint_matches_engine_grad(rng):
     assert float(jnp.abs(gk_xk).max()) == 0.0  # stopped, exact zeros
 
 
+@pytest.mark.full
 def test_kernel_adjoint_with_knowns(rng):
     """Known DOFs are constants under the kernel VJP: the NaN sens rows
     contribute exactly zero data gradient, unknown-DOF grads match the
@@ -420,8 +423,8 @@ def test_kernel_adjoint_rejects_unsupported_config(rng):
 
 @pytest.mark.parametrize("dim,order,weighting", [
     (1, 3, defs.WEIGHT_UNIFORM),
-    (2, 4, defs.WEIGHT_CENTER),
-    (3, 2, defs.WEIGHT_CENTER),
+    pytest.param(2, 4, defs.WEIGHT_CENTER, marks=pytest.mark.full),
+    pytest.param(3, 2, defs.WEIGHT_CENTER, marks=pytest.mark.full),
 ])
 def test_kernel_adjoint_parity_across_configs(rng, dim, order, weighting):
     """The kernel VJP equals the engine gradient across dimensions and

@@ -100,6 +100,7 @@ def _spy(monkeypatch):
     return spy
 
 
+@pytest.mark.full
 def test_default_backend_hits_kernel_when_eligible(rng, monkeypatch):
     """fit_many's default backend is auto: on an accelerator, an eligible
     well-conditioned batch goes through the fused kernel."""
@@ -113,6 +114,7 @@ def test_default_backend_hits_kernel_when_eligible(rng, monkeypatch):
     assert np.isfinite(np.asarray(res.fi)).all()
 
 
+@pytest.mark.full
 def test_auto_beyond_parity_regime_keeps_kernel(rng, monkeypatch):
     """Predicted ds floor above BEYOND_PARITY_FLOOR = conditioning-limited
     regime (hardware-measured: the f64 engine disagrees with an f64 oracle
@@ -134,6 +136,7 @@ def test_auto_beyond_parity_regime_keeps_kernel(rng, monkeypatch):
     assert np.isfinite(np.asarray(res.fi)).all()
 
 
+@pytest.mark.full
 def test_auto_middle_band_rides_fast_rung(rng, monkeypatch):
     """Floor between the gate and BEYOND_PARITY_FLOOR: genuine f64-grade
     parity is achievable and auto pays for it with the engine's fast rung
@@ -184,6 +187,7 @@ def test_explicit_f64_precision_never_kernel_routed(rng, monkeypatch):
     assert spy.calls == 0
 
 
+@pytest.mark.full
 def test_auto_kernel_matches_f64_engine_on_eligible_batch(rng, monkeypatch):
     """End-to-end auto routing through the (interpreted) kernel stays close
     to the f64 engine on an accepted batch.  The interpreter's ds pair
@@ -205,6 +209,7 @@ def test_auto_kernel_matches_f64_engine_on_eligible_batch(rng, monkeypatch):
     assert rel < 5e-5
 
 
+@pytest.mark.full
 def test_heterogeneous_bucketing_respects_guard(rng, monkeypatch):
     """Mixed-order batches: each group is probed and routed independently.
 
@@ -260,6 +265,7 @@ def test_pick_refine_steps_scales_with_conditioning(rng):
     assert n_bad == 4
 
 
+@pytest.mark.full
 def test_homogeneous_kernel_path_respects_max_order(rng, monkeypatch):
     """order < max_order through the kernel: the result must still have
     NO = dofs(max_order) columns with fi_init preserved on the inactive
@@ -287,6 +293,7 @@ def test_homogeneous_kernel_path_respects_max_order(rng, monkeypatch):
     assert rel < 5e-5
 
 
+@pytest.mark.full
 def test_compat_batch_strict_knob_blocks_kernel(rng, monkeypatch):
     """The compat fit_*_many path honors the documented routing knob:
     set_compat_precision('f64') keeps the batch on the engine even when

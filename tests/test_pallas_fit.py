@@ -30,7 +30,7 @@ def _problem(rng, B, K=20, clustered=False):
 
 @pytest.mark.parametrize("order,weighting", [
     (2, defs.WEIGHT_UNIFORM),
-    (4, defs.WEIGHT_CENTER),
+    pytest.param(4, defs.WEIGHT_CENTER, marks=pytest.mark.full),
 ])
 def test_matches_engine(rng, order, weighting):
     xk, fk, nk, xi = _problem(rng, TILE)
@@ -110,6 +110,7 @@ def test_recompute_basis_variant(rng, monkeypatch):
     assert rel < 5e-6
 
 
+@pytest.mark.full
 def test_sensitivities(rng):
     """In-kernel sens == engine sens (refined solves per neighbor RHS)."""
     xk, fk, nk, xi = _problem(rng, TILE, K=12)
@@ -133,6 +134,7 @@ def test_sensitivities(rng):
     assert np.abs(np.asarray(sens_p)[mask]).max() == 0.0
 
 
+@pytest.mark.full
 def test_iterative(rng):
     """ALGO_ITERATIVE in-kernel: DOFs match the engine's iterative path."""
     xk, fk, nk, xi = _problem(rng, TILE, K=14)
@@ -193,6 +195,7 @@ def test_3d_order4_no35_interpret(rng, monkeypatch):
     assert rel < 5e-3, f"rel={rel:.2e}"
 
 
+@pytest.mark.full
 def test_iterative_with_knowns(rng):
     """ALGO_ITERATIVE + knowns: prescribed DOFs must not drift across
     corrective iterations (regression: the corrective solve used to feed the
@@ -221,6 +224,7 @@ def test_iterative_with_knowns(rng):
     assert np.asarray(iters).min() >= 1
 
 
+@pytest.mark.full
 def test_knowns_elimination(rng):
     """Static knowns bitmask in-kernel: prescribed DOFs pass through
     bit-exactly, unknowns match the engine, sens NaN pattern matches."""
@@ -252,7 +256,7 @@ def test_knowns_elimination(rng):
 
 @pytest.mark.parametrize("order,weighting", [
     (2, defs.WEIGHT_UNIFORM),
-    (4, defs.WEIGHT_CENTER),
+    pytest.param(4, defs.WEIGHT_CENTER, marks=pytest.mark.full),
 ])
 def test_ts_variant_matches_engine(rng, order, weighting):
     """precision="ts" (triple-single planes) runs the same pipeline.
@@ -275,6 +279,7 @@ def test_ts_variant_matches_engine(rng, order, weighting):
     assert rel < 5e-5, f"rel={rel:.2e}"
 
 
+@pytest.mark.full
 def test_ts_variant_knowns_and_iterative(rng):
     """ts plumbing through knowns elimination + ALGO_ITERATIVE."""
     xk, fk, nk, xi = _problem(rng, TILE, K=14, clustered=True)
@@ -310,6 +315,7 @@ def test_ts_supported_vmem_accounting():
         pallas_fit.vmem_ok(3, 4, 48, nplanes=3)
 
 
+@pytest.mark.full
 def test_tile_s_bit_identity(rng):
     """tile_s only changes the block layout: per-case results (DOFs and
     sensitivities) are bit-identical for any sublane count, and the VMEM

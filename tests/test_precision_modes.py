@@ -99,6 +99,7 @@ def test_lu_solver_matches_cholesky(rng):
     assert srel < 1e-11
 
 
+@pytest.mark.full
 def test_pair_solve_matches_ds_boundary(rng, monkeypatch):
     """solve_prepared_ds_pair (pair in/out, zero f64 ops) renders to the
     same values as the f64-boundary solve_prepared_ds at the ds
@@ -143,6 +144,7 @@ def test_pair_solve_matches_ds_boundary(rng, monkeypatch):
                                   np.asarray(seed_pair[1][:, defs.i2_F]))
 
 
+@pytest.mark.full
 def test_pair_solve_extreme_radius(rng, monkeypatch):
     """dof_scale beyond the f32 exponent range must not corrupt the
     pair solve (regression: the single f32 cast of 2^(e_s*deg) overflowed

@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from wlsqm_tpu.utils.profiling import Timer, device_trace
 
@@ -23,6 +24,7 @@ def test_timer_quiet_and_nosync(capsys):
     assert capsys.readouterr().out == ""
 
 
+@pytest.mark.full
 def test_device_trace_writes_profile(tmp_path):
     logdir = str(tmp_path / "trace")
     with device_trace(logdir):

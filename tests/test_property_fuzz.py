@@ -50,6 +50,7 @@ def fit_configs(draw):
 @settings(max_examples=int(os.environ.get("WLSQM_TPU_FUZZ_EXAMPLES", "25")),
           deadline=None,
           suppress_health_check=[hyp.HealthCheck.too_slow])
+@pytest.mark.full
 @given(cfg=fit_configs())
 def test_fit_many_matches_oracle(cfg):
     dimension, order, K, ragged, weighting, knowns, scale, seed = cfg

@@ -30,6 +30,7 @@ def test_roundtrip_f64(rng, tmp_path):
     assert prep2.precision == prep.precision
 
 
+@pytest.mark.full
 def test_roundtrip_ds_unrolled(rng, tmp_path, monkeypatch):
     # serialization mechanics only — bypass the ds-fidelity canary, which
     # (correctly) blocks explicit ds on backends that degrade pairs

@@ -94,6 +94,7 @@ def test_pad_cases():
     assert sharding.pad_cases(1, 8) == 8
 
 
+@pytest.mark.full
 @needs_devices
 def test_sharded_pallas_equals_single_device(rng):
     from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas
@@ -250,6 +251,7 @@ def test_sharded_ibvp_step_matches_single_device(rng):
     np.testing.assert_array_equal(np.asarray(fi_s), np.asarray(fi_1))
 
 
+@pytest.mark.full
 @needs_devices
 def test_sharded_kernel_adjoint_matches_single_device(rng):
     """jax.grad through shard_map(fit_pallas_diffable) over the case

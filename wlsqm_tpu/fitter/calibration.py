@@ -1,0 +1,348 @@
+"""Per-device calibration of the kernel-routing accuracy model.
+
+The auto ladder's *certification* gates (:mod:`wlsqm_tpu.fitter.condprobe`,
+:mod:`wlsqm_tpu.fitter.ladder`) promise that a kernel-routed batch agrees
+with any correct f64 implementation to the 1e-10 parity bar.  That promise
+rests on hardware-measured unit-roundoff constants — ``DS_UNIT``,
+``DS_CERT_UNIT``, ``TS_PARITY_UNIT`` — which were swept on one device
+generation (TPU v5e).  A different MXU/VPU generation can have different
+pair-arithmetic behavior, and a gate tuned on v5e could silently admit
+>1e-10 errors there (the accuracy machinery is the reference's soul:
+reference README.md:76-78, wlsqm/fitter/impl.pyx:620-689 — shipping an
+unsound gate would betray it).
+
+This module makes the constants a per-device-kind *calibration record*:
+
+* **shipped** records for the device kinds the project has swept on real
+  hardware (TPU v5e; CPU, where the kernel runs op-by-op in interpret
+  mode and the pair arithmetic is exact IEEE f32 — if anything stricter
+  than the TPU's);
+* **measured** records produced by :func:`calibrate_device` — a first-use
+  harness distilled from ``benchmarks/run_gate_check.py`` /
+  ``run_ts_percase.py`` that sweeps the actual kernel against a
+  long-double-refined oracle on THIS device and persists the fitted
+  units next to the ds-canary verdict (``WLSQM_TPU_COMPILE_CACHE``);
+* an **env override** (``WLSQM_TPU_CALIBRATION=/path/to.json``) for
+  site-managed fleets.
+
+On hardware with no record of any kind, :func:`active` returns the
+shipped v5e units flagged ``certified=False``: the condprobe certification
+gates then refuse, so auto routing falls back to the uncertified-ts /
+engine rungs (which make no cross-device accuracy claims), and a one-time
+warning tells the user to run ``python -m wlsqm_tpu.fitter.calibration``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import warnings
+
+import numpy as np
+
+__all__ = ["DeviceCalibration", "active", "calibrate_device",
+           "device_kind"]
+
+#: bump when the calibration methodology changes; persisted records from
+#: an older harness must not be trusted
+VERSION = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceCalibration:
+    """Accuracy-model units for one device kind.
+
+    ``certified`` distinguishes a record backed by a hardware sweep
+    (shipped or measured) from the fallback defaults: only certified
+    records allow the ds/ts certification gates to pass.
+    """
+
+    ds_unit: float            # central ds model unit (regime splits, sweeps)
+    ds_cert_unit: float       # per-case worst-case ds envelope (cert gate)
+    ts_parity_unit: float     # per-case ts-vs-f64-oracle envelope
+    beyond_parity_floor: float  # ds floor above which parity is unattainable
+    kernel_max_floor: float   # ds floor beyond which geometry is degenerate
+    certified: bool = True
+    source: str = "shipped"   # "shipped" | "measured" | "env" | "default"
+
+
+#: the TPU v5e sweep values (benchmarks/run_gate_check.py,
+#: run_ts_percase.py, run_cond_sweep*.py — see condprobe.py for the
+#: provenance of each number)
+_V5E = dict(ds_unit=2e-15, ds_cert_unit=1.25e-14, ts_parity_unit=7e-16,
+            beyond_parity_floor=1e-8, kernel_max_floor=1e-3)
+
+#: shipped records, matched by lower-case substring of the device kind
+_SHIPPED: tuple[tuple[str, dict], ...] = (
+    ("v5 lite", _V5E),
+    ("v5e", _V5E),
+    ("v5lite", _V5E),
+    # CPU: production routing never certifies a kernel route there
+    # (plan_fit_many pins on_cpu batches to the f64 engine, api.py) —
+    # this record exists so the gate/ladder LOGIC tests, which run the
+    # decision functions directly on CPU hosts, exercise the shipped
+    # v5e-calibrated behavior deterministically in CI
+    ("cpu", _V5E),
+)
+
+_ACTIVE: dict[str, DeviceCalibration] = {}
+_WARNED: set[str] = set()
+
+
+def device_kind() -> str:
+    """Identifier of the device the kernel would run on, e.g.
+    ``'TPU v5 lite'`` or ``'cpu'`` (host platform included for remote
+    bridges whose platform name differs from the hardware)."""
+    import jax
+
+    try:
+        d = jax.devices()[0]
+        kind = str(getattr(d, "device_kind", "") or "").strip()
+        if not kind:
+            kind = str(d)
+        plat = str(getattr(d, "platform", "") or "")
+        return f"{kind}" if kind.lower() != plat.lower() else plat
+    except Exception:  # pragma: no cover - no backend at all
+        return "unknown"
+
+
+def _store_path() -> str | None:
+    from wlsqm_tpu import config
+
+    d = config.cache_dir()
+    return os.path.join(d, "device_calibration.json") if d else None
+
+
+def _key(kind: str) -> str:
+    return f"v{VERSION}:{kind}"
+
+
+def _from_record(rec: dict, source: str) -> DeviceCalibration | None:
+    try:
+        return DeviceCalibration(
+            ds_unit=float(rec["ds_unit"]),
+            ds_cert_unit=float(rec["ds_cert_unit"]),
+            ts_parity_unit=float(rec["ts_parity_unit"]),
+            beyond_parity_floor=float(rec.get("beyond_parity_floor",
+                                              _V5E["beyond_parity_floor"])),
+            kernel_max_floor=float(rec.get("kernel_max_floor",
+                                           _V5E["kernel_max_floor"])),
+            certified=bool(rec.get("certified", True)),
+            source=source)
+    except (KeyError, TypeError, ValueError):
+        return None
+
+
+def _load_store(path: str, kind: str, source: str):
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return None
+    rec = data.get(_key(kind))
+    return _from_record(rec, source) if isinstance(rec, dict) else None
+
+
+def _persist(kind: str, cal: DeviceCalibration) -> None:
+    """Record a measured calibration (atomic replace, best-effort)."""
+    path = _store_path()
+    if not path:
+        return
+    import tempfile
+
+    try:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+        rec = dataclasses.asdict(cal)
+        rec.pop("source", None)
+        data[_key(kind)] = rec
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, path)
+    except OSError:  # read-only cache dir: the in-process record stands
+        pass
+
+
+def active() -> DeviceCalibration:
+    """The calibration record for the current device kind.
+
+    Resolution order: env override file -> persisted measured record ->
+    shipped table -> uncertified defaults (with a one-time warning).
+    Cached per device kind for the process.
+    """
+    kind = device_kind()
+    cal = _ACTIVE.get(kind)
+    if cal is not None:
+        return cal
+    low = kind.lower()
+    cal = None
+    env = os.environ.get("WLSQM_TPU_CALIBRATION")
+    if env:
+        cal = _load_store(env, kind, "env")
+    if cal is None:
+        path = _store_path()
+        if path:
+            cal = _load_store(path, kind, "measured")
+    if cal is None:
+        for pat, rec in _SHIPPED:
+            if pat in low:
+                cal = DeviceCalibration(**rec, certified=True,
+                                        source="shipped")
+                break
+    if cal is None:
+        cal = DeviceCalibration(**_V5E, certified=False, source="default")
+        if kind not in _WARNED:
+            _WARNED.add(kind)
+            warnings.warn(
+                f"no accuracy calibration for device kind {kind!r}: "
+                "certified kernel routing is disabled (batches take the "
+                "uncertified or engine rungs).  Run `python -m "
+                "wlsqm_tpu.fitter.calibration` once on this hardware "
+                "(persisted via WLSQM_TPU_COMPILE_CACHE) to enable it.",
+                stacklevel=2)
+    _ACTIVE[kind] = cal
+    return cal
+
+
+def _reset_cache() -> None:
+    """Testing hook: drop the per-process record cache."""
+    _ACTIVE.clear()
+
+
+# ---------------------------------------------------------------- harness
+
+def _problem(rng, B, K, radius, dimension):
+    xi = rng.uniform(-1, 1, (B, dimension))
+    xk = xi[:, None, :] + rng.uniform(-radius, radius, (B, K, dimension))
+    fk = (np.sin(3 * xk[..., 0]) * np.cos(2 * xk[..., -1])
+          + 0.3 * xk[..., 0] * xk[..., -1])
+    return xk, fk, xi
+
+
+def _strong_oracle(xk, xi, fk, weighting, dimension, order=4):
+    """Radius-scaled f64 normal-equations solve + one long-double-residual
+    refinement per case (the gate-check oracle,
+    benchmarks/run_ts_percase.py)."""
+    from wlsqm_tpu.fitter import defs, tables
+
+    no = defs.number_of_dofs(dimension, order)
+    exp = tables.EXPONENTS[dimension][:no]
+    invf = tables.INV_FACT[dimension][:no]
+    deg = exp.sum(-1)
+    d = xk - xi[:, None, :]
+    d2 = (d ** 2).sum(-1)
+    r = np.sqrt(d2.max(-1))
+    t = d / r[:, None, None]
+    C = invf[None, None, :] * np.prod(
+        t[:, :, None, :] ** exp[None, None, :, :], axis=-1)
+    if weighting == defs.WEIGHT_CENTER:
+        w = 1e-4 + (1 - 1e-4) * (
+            1 - np.sqrt(d2 / d2.max(-1, keepdims=True))) ** 2
+    else:
+        w = np.ones_like(d2)
+    A = np.einsum("bki,bk,bkj->bij", C, w, C)
+    b = np.einsum("bkj,bk->bj", C, w * fk)
+    x = np.linalg.solve(A, b[..., None])[..., 0]
+    Cl = C.astype(np.longdouble)
+    wl = w.astype(np.longdouble)
+    fl = fk.astype(np.longdouble)
+    xl = x.astype(np.longdouble)
+    resid = np.einsum("bkj,bk->bj", Cl,
+                      wl * (fl - np.einsum("bkj,bj->bk", Cl, xl)))
+    dx = np.linalg.solve(A, resid.astype(np.float64)[..., None])[..., 0]
+    x = (xl + dx.astype(np.longdouble)).astype(np.float64)
+    return x / (r[:, None].astype(np.float64) ** deg[None, :])
+
+
+#: margin applied to the worst measured per-case unit, mirroring the
+#: ~1.6x worst under-prediction seen in the v5e gate-soundness runs
+CERT_MARGIN = 1.6
+
+#: floor for a fitted unit: a sweep can never certify tighter than the
+#: f64 oracle's own arithmetic
+UNIT_FLOOR = 1e-16
+
+
+def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
+                     radii=(0.03, 0.05, 0.1, 0.15, 0.3, 0.6, 1.0),
+                     persist: bool = True,
+                     interpret: bool = False) -> DeviceCalibration:
+    """Measure this device's kernel accuracy units and persist them.
+
+    Runs the fused kernel (ds and ts arithmetic) on a 2D order-4 sweep
+    over neighborhood radii and both weightings, compares every case
+    against the long-double-refined oracle, and fits the per-case
+    envelope units ``err_i <= unit * cond_i * amp_i`` (with
+    :data:`CERT_MARGIN`).  Persists the record when the cache dir is
+    enabled (``WLSQM_TPU_COMPILE_CACHE``) and installs it for the
+    process either way.  Takes ~1-2 min on a TPU chip (one kernel
+    compile per arithmetic).
+    """
+    import jax.numpy as jnp
+
+    from wlsqm_tpu.fitter import condprobe, defs
+    from wlsqm_tpu.ops.pallas_fit import fit_pallas
+
+    rng = np.random.default_rng(seed)
+    K = 30
+    cas, eds, ets = [], [], []
+    for weighting in (defs.WEIGHT_UNIFORM, defs.WEIGHT_CENTER):
+        for radius in radii:
+            xk, fk, xi = _problem(rng, batch, K, radius, 2)
+            ref = _strong_oracle(xk, xi, fk, weighting, 2)
+            nk = jnp.full((batch,), K, jnp.int32)
+            com = dict(dimension=2, order=4, weighting=weighting,
+                       interpret=interpret)
+            fi_ds = np.asarray(fit_pallas(
+                jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
+                **com))
+            fi_ts = np.asarray(fit_pallas(
+                jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
+                precision="ts", **com))
+            cond, amp = condprobe.probe(xk, nk, xi, 4, weighting,
+                                        dimension=2, sample=batch)
+            scale = np.abs(ref).max(-1)
+            cas.append(cond * amp)
+            eds.append(np.abs(fi_ds - ref).max(-1) / scale)
+            ets.append(np.abs(fi_ts - ref).max(-1) / scale)
+    ca = np.concatenate(cas)
+    e_ds = np.concatenate(eds)
+    e_ts = np.concatenate(ets)
+    ds_cert = max(float((e_ds / ca).max()) * CERT_MARGIN, UNIT_FLOOR)
+    ts_cert = max(float((e_ts / ca).max()) * CERT_MARGIN, UNIT_FLOOR)
+    # central unit: worst batch-max ratio (the ±4x SAFETY of the routing
+    # gate absorbs the scatter around it, as on v5e)
+    nbatch = len(cas)
+    central = max(max(float(e.max() / c.max())
+                      for e, c in zip(np.array_split(e_ds, nbatch),
+                                      np.array_split(ca, nbatch))),
+                  UNIT_FLOOR)
+    cal = DeviceCalibration(
+        ds_unit=central, ds_cert_unit=ds_cert, ts_parity_unit=ts_cert,
+        beyond_parity_floor=_V5E["beyond_parity_floor"],
+        kernel_max_floor=_V5E["kernel_max_floor"],
+        certified=True, source="measured")
+    kind = device_kind()
+    _ACTIVE[kind] = cal
+    if persist:
+        _persist(kind, cal)
+    return cal
+
+
+def main() -> None:  # pragma: no cover - thin CLI
+    cal = calibrate_device()
+    print(f"device kind:  {device_kind()}")
+    for f in dataclasses.fields(cal):
+        print(f"{f.name:22s} {getattr(cal, f.name)}")
+    if _store_path() is None:
+        print("NOTE: WLSQM_TPU_COMPILE_CACHE is not set — the record was "
+              "not persisted (valid for this process only).")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -286,17 +286,35 @@ def probe(xk, nk, xi, order, weighting, *, dimension: int,
         return None
 
 
+def _units():
+    """Active per-device calibration record (units + regime thresholds).
+
+    The module-level constants above are the shipped TPU-v5e values and
+    remain for provenance/back-compat; routing decisions go through the
+    calibration store so other device generations use THEIR measured
+    units — or, uncalibrated, get the certification gates refused
+    (:mod:`wlsqm_tpu.fitter.calibration`).
+    """
+    from wlsqm_tpu.fitter import calibration
+
+    return calibration.active()
+
+
 def accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
     """ds-certification gate on a precomputed :func:`probe` result.
 
     True means EVERY case's double-single kernel/engine error is
     predicted under ``tol`` by the worst-case per-case envelope
     (:data:`DS_CERT_UNIT`, pinned by benchmarks/run_gate_check.py).
+    Always False on hardware without an accuracy calibration record.
     """
     if cond_amp is None:
         return False
+    u = _units()
+    if not u.certified:
+        return False
     cond, amp = cond_amp
-    return float(DS_CERT_UNIT * (cond * amp).max()) * SAFETY <= tol
+    return float(u.ds_cert_unit * (cond * amp).max()) * SAFETY <= tol
 
 
 #: effective parity unit of the triple-single kernel variant against an
@@ -322,12 +340,16 @@ def ts_accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
 
     The model already measures against an f64 oracle, so "ok" means the
     result is certified f64-grade: any correct f64 implementation (the
-    reference included) agrees with it to ``tol``.
+    reference included) agrees with it to ``tol``.  Always False on
+    hardware without an accuracy calibration record.
     """
     if cond_amp is None:
         return False
+    u = _units()
+    if not u.certified:
+        return False
     cond, amp = cond_amp
-    return float(TS_PARITY_UNIT * (cond * amp).max()) * SAFETY <= tol
+    return float(u.ts_parity_unit * (cond * amp).max()) * SAFETY <= tol
 
 
 def pick_ts_from(cond_amp, tol: float = AUTO_TOL,
@@ -340,10 +362,11 @@ def pick_ts_from(cond_amp, tol: float = AUTO_TOL,
     """
     if cond_amp is None:
         return candidates[-1]
+    u = _units()
     cond, amp = cond_amp
     rate = F32_UNIT * cond
     for n in candidates:
-        pred = np.maximum(TS_PARITY_UNIT * cond, rate ** (n + 1)) * amp
+        pred = np.maximum(u.ts_parity_unit * cond, rate ** (n + 1)) * amp
         if float(pred.max()) * PICK_SAFETY <= tol:
             return n
     return candidates[-1]
@@ -354,7 +377,7 @@ def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
     """Predicted worst-case kernel relative DOF error (converged sweeps)."""
     cond, amp = _cond_amp(xk, nk, xi, order, weighting, dimension=dimension,
                           knowns=knowns, sample=sample)
-    return float(DS_UNIT * (cond * amp).max())
+    return float(_units().ds_unit * (cond * amp).max())
 
 
 def predicted_error(cond, amp, refine_steps: int):
@@ -368,7 +391,8 @@ def predicted_error(cond, amp, refine_steps: int):
     amplifies whichever dominates.
     """
     rate = F32_UNIT * cond
-    return np.maximum(DS_UNIT * cond, rate ** (refine_steps + 1)) * amp
+    return np.maximum(_units().ds_unit * cond,
+                      rate ** (refine_steps + 1)) * amp
 
 
 def kernel_accuracy_ok(xk, nk, xi, order, weighting, *, dimension: int,

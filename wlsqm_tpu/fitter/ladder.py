@@ -161,9 +161,10 @@ def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
         ts_kernel_ok = kernel_ok
     if cond_amp is None:
         return Route(path="xla", precision="f64")
+    units = condprobe._units()   # per-device calibration record
     cond, amp = cond_amp
     ca_max = float((cond * amp).max())
-    floor = condprobe.DS_UNIT * ca_max
+    floor = units.ds_unit * ca_max
     ds_cert = condprobe.accuracy_ok_from(cond_amp, tol=tol)
     if ts_kernel_ok and condprobe.ts_accuracy_ok_from(cond_amp, tol=tol):
         # certified band: ALL certified kernel routing runs the
@@ -184,7 +185,7 @@ def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
                          refine_steps=condprobe.pick_from(cond_amp, tol=tol))
         if ds_xla_ok:
             return Route(path="xla", precision="ds")
-    elif BEYOND_PARITY_FLOOR < floor <= KERNEL_MAX_FLOOR:
+    elif units.beyond_parity_floor < floor <= units.kernel_max_floor:
         # conditioning-limited regime (see BEYOND_PARITY_FLOOR): take the
         # accuracy-optimal kernel arithmetic at kernel speed — ts beats
         # even the f64 engine here (run_ts_sweep.py).  Near-singular

@@ -334,3 +334,124 @@ def test_tile_s_bit_identity(rng):
     np.testing.assert_array_equal(np.asarray(s8), np.asarray(s4))
     assert pallas_fit._vmem_bytes(2, 2, 16, True, tile_s=16) == \
         2 * pallas_fit._vmem_bytes(2, 2, 16, True, tile_s=8)
+
+
+# ---------------------------------------------------------------- moments
+
+def _engine_oracle(xk, fk, nk, xi, dimension, order, weighting, knowns=0,
+                   fi_init=None):
+    NO = wt.number_of_dofs(dimension, order)
+    B = xk.shape[0]
+    fi0 = jnp.zeros((B, NO)) if fi_init is None else jnp.asarray(fi_init)
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, fi0,
+        jnp.full((B,), order, jnp.int32),
+        jnp.full((B,), knowns, jnp.int64),
+        jnp.full((B,), weighting, jnp.int32), dimension=dimension, NO=NO)
+    return np.asarray(f64)
+
+
+@pytest.mark.parametrize("dimension,order,weighting", [
+    (1, 3, defs.WEIGHT_UNIFORM),
+    (2, 2, defs.WEIGHT_CENTER),
+    pytest.param(2, 4, defs.WEIGHT_CENTER, marks=pytest.mark.full),
+    pytest.param(3, 2, defs.WEIGHT_CENTER, marks=pytest.mark.full),
+])
+def test_moment_assembly_matches_engine(rng, dimension, order, weighting):
+    """The moment-assembly variant (A[j,m] = M[e_j+e_m] chains + packed
+    pair normal matrix) solves the same problem as the basis-rows variant
+    and the f64 engine.  In interpret mode the moment path's pair
+    arithmetic survives XLA-CPU fusion better than the rows path (its
+    converged fixed point is the stored pair matrix), so the bound here
+    is tighter than the rows tests'."""
+    NO = wt.number_of_dofs(dimension, order)
+    B, K = TILE, max(24, NO + 9)
+    xi = rng.uniform(-1, 1, (B, dimension))
+    xk = xi[:, None, :] + rng.uniform(-0.4, 0.4, (B, K, dimension))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., -1])
+    nkv = rng.integers(NO + 5, K + 1, B)
+    args = (jnp.asarray(xk), jnp.asarray(fk),
+            jnp.asarray(nkv, jnp.int32), jnp.asarray(xi))
+    com = dict(dimension=dimension, order=order, weighting=weighting,
+               interpret=True)
+    fi_m = np.asarray(fit_pallas(*args, assembly="moments", **com))
+    f64 = _engine_oracle(*args, dimension=dimension, order=order,
+                         weighting=weighting)
+    rel = np.abs(fi_m - f64).max() / np.abs(f64).max()
+    assert rel < 5e-6, f"rel={rel:.2e}"
+
+
+def test_moment_assembly_knowns(rng):
+    """Knowns elimination through the moments (b_m -= g_j M[e_j+e_m]) is
+    algebraically the per-neighbor elimination: prescribed DOFs pass
+    through bit-exactly, unknowns match the engine."""
+    B, K = TILE, 16
+    knowns = int(defs.b2_F | defs.b2_Y)
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.4, 0.4, (B, K, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    NO = wt.number_of_dofs(2, 2)
+    gi = np.zeros((B, NO))
+    gi[:, defs.i2_F] = np.sin(xi[:, 0]) * np.cos(xi[:, 1])
+    gi[:, defs.i2_Y] = -np.sin(xi[:, 0]) * np.sin(xi[:, 1])
+    args = (jnp.asarray(xk), jnp.asarray(fk),
+            jnp.full((B,), K, jnp.int32), jnp.asarray(xi),
+            jnp.asarray(gi))
+    com = dict(dimension=2, order=2, weighting=defs.WEIGHT_CENTER,
+               knowns=knowns, interpret=True)
+    fi_m = np.asarray(fit_pallas(*args, assembly="moments", **com))
+    # prescribed values bit-exact
+    np.testing.assert_array_equal(fi_m[:, defs.i2_F], gi[:, defs.i2_F])
+    np.testing.assert_array_equal(fi_m[:, defs.i2_Y], gi[:, defs.i2_Y])
+    f64 = _engine_oracle(jnp.asarray(xk), jnp.asarray(fk),
+                         jnp.full((B,), K, jnp.int32), jnp.asarray(xi),
+                         2, 2, defs.WEIGHT_CENTER, knowns=knowns,
+                         fi_init=gi)
+    un = [j for j in range(NO) if not (knowns >> j) & 1]
+    rel = (np.abs(fi_m[:, un] - f64[:, un]).max()
+           / np.abs(f64[:, un]).max())
+    assert rel < 5e-6, f"rel={rel:.2e}"
+
+
+def test_moment_auto_routing():
+    """assembly='auto' picks moments for basic fits (VMEM permitting) and
+    rows whenever sens/iterative are requested; 'moments' with those
+    raises."""
+    from wlsqm_tpu.ops import pallas_fit
+
+    assert pallas_fit.moment_vmem_ok(2, 4, 30)
+    assert pallas_fit.moment_vmem_ok(3, 4, 48)  # packed store fits NO=35
+    with pytest.raises(ValueError, match="basic algorithm"):
+        fit_pallas(jnp.zeros((TILE, 8, 2)), jnp.zeros((TILE, 8)),
+                   jnp.full((TILE,), 8, jnp.int32), jnp.zeros((TILE, 2)),
+                   dimension=2, order=2, weighting=defs.WEIGHT_UNIFORM,
+                   do_sens=True, assembly="moments", interpret=True)
+
+
+@pytest.mark.full
+def test_moment_ts_variant(rng):
+    """The ts (triple-single) arithmetic runs the moment body too."""
+    B, K = TILE, 24
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    args = (jnp.asarray(xk), jnp.asarray(fk),
+            jnp.full((B,), K, jnp.int32), jnp.asarray(xi))
+    com = dict(dimension=2, order=4, weighting=defs.WEIGHT_CENTER,
+               interpret=True, precision="ts")
+    fi_m = np.asarray(fit_pallas(*args, assembly="moments", **com))
+    f64 = _engine_oracle(*args, dimension=2, order=4,
+                         weighting=defs.WEIGHT_CENTER)
+    rel = np.abs(fi_m - f64).max() / np.abs(f64).max()
+    assert rel < 5e-6, f"rel={rel:.2e}"
+
+
+@pytest.mark.full
+def test_moment_tile_s_bit_identity(rng):
+    """Lane independence holds for the moment variant too."""
+    xk, fk, nk, xi = _problem(rng, 2048, K=16)
+    kw = dict(dimension=2, order=2, weighting=defs.WEIGHT_CENTER,
+              interpret=True, assembly="moments")
+    fi8 = fit_pallas(xk, fk, nk, xi, **kw)
+    fi16 = fit_pallas(xk, fk, nk, xi, tile_s=16, **kw)
+    np.testing.assert_array_equal(np.asarray(fi8), np.asarray(fi16))

@@ -123,7 +123,8 @@ def _run_kernel_group(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
         xk, fk, nk, xi, fi_init, dimension=dim, order=order,
         weighting=weighting, knowns=knowns, interpret=interpret,
         do_sens=do_sens, max_iter=(max_iter if iterative else 0),
-        precision=route.kernel_precision, **rkw)
+        precision=route.kernel_precision,
+        assembly=getattr(route, "assembly", "auto"), **rkw)
     if not (iterative or do_sens):
         out = (out,)
     fi = out[0][:B]
@@ -401,7 +402,8 @@ def fit_many(
             xk, fk, nk, xi, fi0_k, dim=dim, order=o,
             knowns=int(np.max(np.asarray(knowns))),
             weighting=int(np.max(np.asarray(weighting))),
-            route=ladder.Route(path="kernel", refine_steps=refine_steps),
+            route=ladder.Route(path="kernel", refine_steps=refine_steps,
+                               assembly="auto"),
             refine_steps=refine_steps, do_sens=do_sens, iterative=iterative,
             max_iter=max_iter, interpret=jax.default_backend() == "cpu")
         return _embed_kernel_result(fi_g, iters, sens, fi_init, B, NO,
@@ -496,11 +498,15 @@ def _auto_dispatch(xk, fk, nk, xi, fi_init, *, dim, B, K, NO, order_a,
         xi_g = xi if whole else xi[sel_j]
         cond_amp = condprobe.probe(xk_g, nk_g, xi_g, o, wm,
                                    dimension=dim, knowns=kn)
+        basic = not (do_sens or iterative)
         route = ladder.choose(
             cond_amp, kernel_ok=True,
             ts_kernel_ok=pallas_fit.supported(dim, o, kn, wm, K=K,
                                               do_sens=do_sens,
-                                              precision="ts"))
+                                              precision="ts"),
+            moments_ok=basic and pallas_fit.moment_vmem_ok(dim, o, K),
+            ts_moments_ok=basic and pallas_fit.moment_vmem_ok(
+                dim, o, K, nplanes=3))
         if route.path != "kernel":
             continue  # engine rungs handle it in the merged leftover call
         fi0_g = None
@@ -625,11 +631,17 @@ def plan_fit_many(
     from wlsqm_tpu.fitter import engine_ds
 
     cond_amp = condprobe.probe(xk, nk, xi, o, wm, dimension=dim, knowns=kn)
+    basic = not (do_sens or iterative)
     route = ladder.choose(
         cond_amp, kernel_ok=kernel_ok,
         ds_xla_ok=engine_ds.ds_backend_ok(),
         ts_kernel_ok=kernel_ok and pallas_fit.supported(
-            dim, o, kn, wm, K=K, do_sens=do_sens, precision="ts"))
+            dim, o, kn, wm, K=K, do_sens=do_sens, precision="ts"),
+        moments_ok=(kernel_ok and basic
+                    and pallas_fit.moment_vmem_ok(dim, o, K)),
+        ts_moments_ok=(kernel_ok and basic
+                       and pallas_fit.moment_vmem_ok(dim, o, K,
+                                                     nplanes=3)))
     if refine_steps is not None and route.path == "kernel":
         route = dataclasses.replace(route, refine_steps=refine_steps)
     return FitPlan(route=route)

@@ -46,12 +46,20 @@ __all__ = ["DeviceCalibration", "active", "calibrate_device",
 
 #: bump when the calibration methodology changes; persisted records from
 #: an older harness must not be trusted
-VERSION = 1
+VERSION = 2
 
 
 @dataclasses.dataclass(frozen=True)
 class DeviceCalibration:
     """Accuracy-model units for one device kind.
+
+    The plain units describe the basis-ROWS kernel; the ``*_m`` variants
+    describe the MOMENT-assembly kernel (``assembly="moments"``), whose
+    envelope is inherently looser: its stored normal matrix accumulates
+    raw monomial sums whose odd/high moments cancel, amplifying the
+    per-term extended-precision chain error ~15-30x (measured, round 4).
+    The ladder certifies each assembly against ITS units and picks the
+    fastest certified one.
 
     ``certified`` distinguishes a record backed by a hardware sweep
     (shipped or measured) from the fallback defaults: only certified
@@ -63,15 +71,27 @@ class DeviceCalibration:
     ts_parity_unit: float     # per-case ts-vs-f64-oracle envelope
     beyond_parity_floor: float  # ds floor above which parity is unattainable
     kernel_max_floor: float   # ds floor beyond which geometry is degenerate
+    ds_unit_m: float = 2.6e-14       # moment-assembly counterparts
+    ds_cert_unit_m: float = 3.9e-13
+    ts_parity_unit_m: float = 9.1e-15
     certified: bool = True
     source: str = "shipped"   # "shipped" | "measured" | "env" | "default"
+
+    def units_for(self, assembly: str):
+        """(central ds, ds envelope, ts envelope) for one kernel assembly."""
+        if assembly == "moments":
+            return self.ds_unit_m, self.ds_cert_unit_m, self.ts_parity_unit_m
+        return self.ds_unit, self.ds_cert_unit, self.ts_parity_unit
 
 
 #: the TPU v5e sweep values (benchmarks/run_gate_check.py,
 #: run_ts_percase.py, run_cond_sweep*.py — see condprobe.py for the
-#: provenance of each number)
+#: provenance of each number; moment units from the round-4
+#: calibrate_device sweeps on v5e)
 _V5E = dict(ds_unit=2e-15, ds_cert_unit=1.25e-14, ts_parity_unit=7e-16,
-            beyond_parity_floor=1e-8, kernel_max_floor=1e-3)
+            beyond_parity_floor=1e-8, kernel_max_floor=1e-3,
+            ds_unit_m=2.6e-14, ds_cert_unit_m=3.9e-13,
+            ts_parity_unit_m=9.1e-15)
 
 #: shipped records, matched by lower-case substring of the device kind
 _SHIPPED: tuple[tuple[str, dict], ...] = (
@@ -128,6 +148,11 @@ def _from_record(rec: dict, source: str) -> DeviceCalibration | None:
                                               _V5E["beyond_parity_floor"])),
             kernel_max_floor=float(rec.get("kernel_max_floor",
                                            _V5E["kernel_max_floor"])),
+            ds_unit_m=float(rec.get("ds_unit_m", _V5E["ds_unit_m"])),
+            ds_cert_unit_m=float(rec.get("ds_cert_unit_m",
+                                         _V5E["ds_cert_unit_m"])),
+            ts_parity_unit_m=float(rec.get("ts_parity_unit_m",
+                                           _V5E["ts_parity_unit_m"])),
             certified=bool(rec.get("certified", True)),
             source=source)
     except (KeyError, TypeError, ValueError):
@@ -274,14 +299,15 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
                      interpret: bool = False) -> DeviceCalibration:
     """Measure this device's kernel accuracy units and persist them.
 
-    Runs the fused kernel (ds and ts arithmetic) on a 2D order-4 sweep
-    over neighborhood radii and both weightings, compares every case
-    against the long-double-refined oracle, and fits the per-case
-    envelope units ``err_i <= unit * cond_i * amp_i`` (with
-    :data:`CERT_MARGIN`).  Persists the record when the cache dir is
-    enabled (``WLSQM_TPU_COMPILE_CACHE``) and installs it for the
-    process either way.  Takes ~1-2 min on a TPU chip (one kernel
-    compile per arithmetic).
+    Runs the fused kernel — ds and ts arithmetic, basis-rows AND
+    moment assembly — on a 2D order-4 sweep over neighborhood radii and
+    both weightings, compares every case against the long-double-refined
+    oracle, and fits the per-case envelope units
+    ``err_i <= unit * cond_i * amp_i`` (with :data:`CERT_MARGIN`).
+    Persists the record when the cache dir is enabled
+    (``WLSQM_TPU_COMPILE_CACHE``) and installs it for the process either
+    way.  Takes ~2-4 min on a TPU chip (one kernel compile per
+    arithmetic x assembly).
     """
     import jax.numpy as jnp
 
@@ -290,7 +316,8 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
 
     rng = np.random.default_rng(seed)
     K = 30
-    cas, eds, ets = [], [], []
+    cas = []
+    errs = {k: [] for k in ("ds_rows", "ts_rows", "ds_mom", "ts_mom")}
     for weighting in (defs.WEIGHT_UNIFORM, defs.WEIGHT_CENTER):
         for radius in radii:
             xk, fk, xi = _problem(rng, batch, K, radius, 2)
@@ -298,34 +325,43 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
             nk = jnp.full((batch,), K, jnp.int32)
             com = dict(dimension=2, order=4, weighting=weighting,
                        interpret=interpret)
-            fi_ds = np.asarray(fit_pallas(
-                jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
-                **com))
-            fi_ts = np.asarray(fit_pallas(
-                jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
-                precision="ts", **com))
+            scale = np.abs(ref).max(-1)
+            for key, kw in (("ds_rows", dict(assembly="rows")),
+                            ("ts_rows", dict(assembly="rows",
+                                             precision="ts")),
+                            ("ds_mom", dict(assembly="moments")),
+                            ("ts_mom", dict(assembly="moments",
+                                            precision="ts"))):
+                fi = np.asarray(fit_pallas(
+                    jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
+                    **kw, **com))
+                errs[key].append(np.abs(fi - ref).max(-1) / scale)
             cond, amp = condprobe.probe(xk, nk, xi, 4, weighting,
                                         dimension=2, sample=batch)
-            scale = np.abs(ref).max(-1)
             cas.append(cond * amp)
-            eds.append(np.abs(fi_ds - ref).max(-1) / scale)
-            ets.append(np.abs(fi_ts - ref).max(-1) / scale)
     ca = np.concatenate(cas)
-    e_ds = np.concatenate(eds)
-    e_ts = np.concatenate(ets)
-    ds_cert = max(float((e_ds / ca).max()) * CERT_MARGIN, UNIT_FLOOR)
-    ts_cert = max(float((e_ts / ca).max()) * CERT_MARGIN, UNIT_FLOOR)
-    # central unit: worst batch-max ratio (the ±4x SAFETY of the routing
-    # gate absorbs the scatter around it, as on v5e)
     nbatch = len(cas)
-    central = max(max(float(e.max() / c.max())
-                      for e, c in zip(np.array_split(e_ds, nbatch),
-                                      np.array_split(ca, nbatch))),
-                  UNIT_FLOOR)
+
+    def cert(key):
+        e = np.concatenate(errs[key])
+        return max(float((e / ca).max()) * CERT_MARGIN, UNIT_FLOOR)
+
+    def central(key):
+        # worst batch-max ratio (the ±4x SAFETY of the routing gate
+        # absorbs the scatter around it, as on v5e)
+        e = np.concatenate(errs[key])
+        return max(max(float(b.max() / c.max())
+                       for b, c in zip(np.array_split(e, nbatch),
+                                       np.array_split(ca, nbatch))),
+                   UNIT_FLOOR)
+
     cal = DeviceCalibration(
-        ds_unit=central, ds_cert_unit=ds_cert, ts_parity_unit=ts_cert,
+        ds_unit=central("ds_rows"), ds_cert_unit=cert("ds_rows"),
+        ts_parity_unit=cert("ts_rows"),
         beyond_parity_floor=_V5E["beyond_parity_floor"],
         kernel_max_floor=_V5E["kernel_max_floor"],
+        ds_unit_m=central("ds_mom"), ds_cert_unit_m=cert("ds_mom"),
+        ts_parity_unit_m=cert("ts_mom"),
         certified=True, source="measured")
     kind = device_kind()
     _ACTIVE[kind] = cal

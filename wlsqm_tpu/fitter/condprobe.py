@@ -300,12 +300,15 @@ def _units():
     return calibration.active()
 
 
-def accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
+def accuracy_ok_from(cond_amp, tol: float = AUTO_TOL,
+                    assembly: str = "rows") -> bool:
     """ds-certification gate on a precomputed :func:`probe` result.
 
     True means EVERY case's double-single kernel/engine error is
     predicted under ``tol`` by the worst-case per-case envelope
-    (:data:`DS_CERT_UNIT`, pinned by benchmarks/run_gate_check.py).
+    (:data:`DS_CERT_UNIT`, pinned by benchmarks/run_gate_check.py); the
+    ``assembly`` argument selects that kernel variant's own calibrated
+    envelope (the moment path's is ~30x looser — calibration.py).
     Always False on hardware without an accuracy calibration record.
     """
     if cond_amp is None:
@@ -313,8 +316,9 @@ def accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
     u = _units()
     if not u.certified:
         return False
+    _, ds_cert, _ = u.units_for(assembly)
     cond, amp = cond_amp
-    return float(u.ds_cert_unit * (cond * amp).max()) * SAFETY <= tol
+    return float(ds_cert * (cond * amp).max()) * SAFETY <= tol
 
 
 #: effective parity unit of the triple-single kernel variant against an
@@ -335,7 +339,8 @@ TS_PARITY_UNIT = 7e-16
 TS_REFINE_STEPS_FULL = 6
 
 
-def ts_accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
+def ts_accuracy_ok_from(cond_amp, tol: float = AUTO_TOL,
+                        assembly: str = "rows") -> bool:
     """Whether the ts kernel's parity floor clears ``tol`` (middle band).
 
     The model already measures against an f64 oracle, so "ok" means the
@@ -348,12 +353,13 @@ def ts_accuracy_ok_from(cond_amp, tol: float = AUTO_TOL) -> bool:
     u = _units()
     if not u.certified:
         return False
+    _, _, ts_unit = u.units_for(assembly)
     cond, amp = cond_amp
-    return float(u.ts_parity_unit * (cond * amp).max()) * SAFETY <= tol
+    return float(ts_unit * (cond * amp).max()) * SAFETY <= tol
 
 
 def pick_ts_from(cond_amp, tol: float = AUTO_TOL,
-                 candidates=(3, 4, 5, 6)) -> int:
+                 candidates=(3, 4, 5, 6), assembly: str = "rows") -> int:
     """Cheapest ts sweep count with predicted error under ``tol``.
 
     Same two-regime model as :func:`predicted_error` with the deeper
@@ -362,11 +368,11 @@ def pick_ts_from(cond_amp, tol: float = AUTO_TOL,
     """
     if cond_amp is None:
         return candidates[-1]
-    u = _units()
+    _, _, ts_unit = _units().units_for(assembly)
     cond, amp = cond_amp
     rate = F32_UNIT * cond
     for n in candidates:
-        pred = np.maximum(u.ts_parity_unit * cond, rate ** (n + 1)) * amp
+        pred = np.maximum(ts_unit * cond, rate ** (n + 1)) * amp
         if float(pred.max()) * PICK_SAFETY <= tol:
             return n
     return candidates[-1]
@@ -380,7 +386,7 @@ def ds_floor(xk, nk, xi, order, weighting, *, dimension: int,
     return float(_units().ds_unit * (cond * amp).max())
 
 
-def predicted_error(cond, amp, refine_steps: int):
+def predicted_error(cond, amp, refine_steps: int, assembly: str = "rows"):
     """Kernel error model at ``refine_steps`` ds sweeps after the solve.
 
     Two regimes, both TPU-measured (benchmarks/README.md sweeps at 2 and 4
@@ -390,9 +396,9 @@ def predicted_error(cond, amp, refine_steps: int):
     initial f32-solve error of the same size).  The radius de-scale
     amplifies whichever dominates.
     """
+    ds_unit, _, _ = _units().units_for(assembly)
     rate = F32_UNIT * cond
-    return np.maximum(_units().ds_unit * cond,
-                      rate ** (refine_steps + 1)) * amp
+    return np.maximum(ds_unit * cond, rate ** (refine_steps + 1)) * amp
 
 
 def kernel_accuracy_ok(xk, nk, xi, order, weighting, *, dimension: int,
@@ -441,12 +447,14 @@ def pick_refine_steps(xk, nk, xi, order, weighting, *, dimension: int,
         tol=tol, candidates=candidates)
 
 
-def pick_from(cond_amp, tol: float = AUTO_TOL, candidates=(2, 3, 4)) -> int:
+def pick_from(cond_amp, tol: float = AUTO_TOL, candidates=(2, 3, 4),
+              assembly: str = "rows") -> int:
     """Sweep-count choice on a precomputed :func:`probe` result."""
     if cond_amp is None:
         return candidates[-1]
     cond, amp = cond_amp
     for n in candidates:
-        if float(predicted_error(cond, amp, n).max()) * PICK_SAFETY <= tol:
+        pred = predicted_error(cond, amp, n, assembly=assembly)
+        if float(pred.max()) * PICK_SAFETY <= tol:
             return n
     return candidates[-1]

@@ -224,6 +224,7 @@ class ExpertSolver:
         self._kernel_geo = None   # padded device geometry for kernel solves
         self._kernel_acc_ok = None  # cached conditioning-probe verdict
         self._kernel_precision = "ds"  # probe-picked kernel arithmetic
+        self._kernel_assembly = "rows"  # probe-picked kernel assembly
         self._kernel_refine_steps = None  # cached probe-picked sweep count
         self._cond_amp = None     # cached probe sample (cond, amp)
         self._prep_mixed_steps = None  # ladder-picked fast/mixed sweeps
@@ -270,6 +271,7 @@ class ExpertSolver:
         self._kernel_geo = None
         self._kernel_acc_ok = None
         self._kernel_precision = "ds"
+        self._kernel_assembly = "rows"
         self._kernel_refine_steps = None
         self._cond_amp = None
         self._fi0_dev = None
@@ -434,6 +436,7 @@ class ExpertSolver:
                 do_sens=bool(self.do_sens), knowns=kn,
                 refine_steps=self._kernel_refine_steps,
                 precision=self._kernel_precision,
+                assembly=self._kernel_assembly,
                 max_iter=(self.max_iter if iterative else 0))
             if not (iterative or self.do_sens):
                 out = (out,)
@@ -572,26 +575,51 @@ class ExpertSolver:
             dimension=self.dimension,
             knowns=int(np.asarray(self.knowns).max()))
         self._cond_amp = cond_amp
+        K = int(np.asarray(self.nk).max())
         ts_fits = pallas_fit.supported(
             self.dimension, np.asarray(self.order),
             np.asarray(self.knowns), np.asarray(self.weighting_method),
-            K=int(np.asarray(self.nk).max()),
-            do_sens=bool(self.do_sens), precision="ts")
-        if ts_fits and condprobe.ts_accuracy_ok_from(cond_amp):
+            K=K, do_sens=bool(self.do_sens), precision="ts")
+        o_max = int(np.asarray(self.order).max())
+        basic = not (self.do_sens or self.algorithm == defs.ALGO_ITERATIVE)
+        mom_ok = basic and pallas_fit.moment_vmem_ok(self.dimension,
+                                                     o_max, K)
+        ts_mom_ok = basic and pallas_fit.moment_vmem_ok(
+            self.dimension, o_max, K, nplanes=3)
+        # same ordering as the ladder: fastest assembly/arithmetic whose
+        # OWN calibrated envelope certifies (fitter/ladder.py)
+        if mom_ok and condprobe.accuracy_ok_from(cond_amp,
+                                                 assembly="moments"):
+            self._kernel_acc_ok = True
+            self._kernel_precision = "ds"
+            self._kernel_assembly = "moments"
+            self._kernel_refine_steps = condprobe.pick_from(
+                cond_amp, assembly="moments")
+        elif ts_mom_ok and condprobe.ts_accuracy_ok_from(
+                cond_amp, assembly="moments"):
+            self._kernel_acc_ok = True
+            self._kernel_precision = "ts"
+            self._kernel_assembly = "moments"
+            self._kernel_refine_steps = condprobe.pick_ts_from(
+                cond_amp, assembly="moments")
+        elif ts_fits and condprobe.ts_accuracy_ok_from(cond_amp):
             # certified kernel routing prefers the triple-single variant
             # (per-case gate soundness: 0 violations, >= 36x headroom —
             # benchmarks/run_gate_check.py); ds stays for explicit
             # precision="ds" and ts-VMEM-unfit shapes
             self._kernel_acc_ok = True
             self._kernel_precision = "ts"
+            self._kernel_assembly = "rows"
             self._kernel_refine_steps = condprobe.pick_ts_from(cond_amp)
         elif condprobe.accuracy_ok_from(cond_amp):
             self._kernel_acc_ok = True
             self._kernel_precision = "ds"
+            self._kernel_assembly = "rows"
             self._kernel_refine_steps = condprobe.pick_from(cond_amp)
         else:
             self._kernel_acc_ok = False
             self._kernel_precision = "ds"
+            self._kernel_assembly = "rows"
             self._kernel_refine_steps = condprobe.pick_from(cond_amp)
 
     # -- global interpolation ---------------------------------------------

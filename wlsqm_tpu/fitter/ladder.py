@@ -135,6 +135,7 @@ class Route:
     precision: str = "f64"            # engine precision (xla path)
     mixed_steps: int | None = None    # adaptive fast/mixed sweeps
     kernel_precision: str = "ds"      # kernel arithmetic (kernel path)
+    assembly: str = "rows"            # kernel assembly (rows | moments)
 
 
 def _sweeps(rate: float) -> int:
@@ -145,7 +146,9 @@ def _sweeps(rate: float) -> int:
 
 def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
            kernel_ok: bool = True, ds_xla_ok: bool = True,
-           ts_kernel_ok: bool | None = None) -> Route:
+           ts_kernel_ok: bool | None = None,
+           moments_ok: bool = False,
+           ts_moments_ok: bool | None = None) -> Route:
     """Pick the cheapest route whose predicted error clears ``tol``.
 
     ``cond_amp``: a :func:`wlsqm_tpu.fitter.condprobe.probe` result (may
@@ -155,10 +158,20 @@ def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
     :func:`wlsqm_tpu.fitter.engine_ds.ds_backend_ok`);
     ``ts_kernel_ok``: the triple-single variant's 1.5x plane VMEM also
     fits (``pallas_fit.supported(..., precision="ts")``) — defaults to
-    ``kernel_ok``.
+    ``kernel_ok``; ``moments_ok`` / ``ts_moments_ok``: the
+    moment-assembly variant is available for this batch in ds / ts
+    arithmetic (basic algorithm, packed-pair VMEM fits —
+    ``pallas_fit.moment_vmem_ok`` at 2 / 3 planes; ``ts_moments_ok``
+    defaults to ``moments_ok``).  Moment assembly is the fastest kernel
+    body (measured +12% ds / +11% ts on v5e, round 4) but its error
+    envelope is ~30x looser (odd-moment cancellation; calibration.py),
+    so each assembly certifies against its OWN units and the fastest
+    certified one wins.
     """
     if ts_kernel_ok is None:
         ts_kernel_ok = kernel_ok
+    if ts_moments_ok is None:
+        ts_moments_ok = moments_ok
     if cond_amp is None:
         return Route(path="xla", precision="f64")
     units = condprobe._units()   # per-device calibration record
@@ -166,6 +179,23 @@ def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
     ca_max = float((cond * amp).max())
     floor = units.ds_unit * ca_max
     ds_cert = condprobe.accuracy_ok_from(cond_amp, tol=tol)
+    if moments_ok and condprobe.accuracy_ok_from(cond_amp, tol=tol,
+                                                 assembly="moments"):
+        # fastest certified rung: moment assembly in ds arithmetic —
+        # its (loose) envelope still clears the bar for every case
+        return Route(path="kernel", assembly="moments",
+                     refine_steps=condprobe.pick_from(
+                         cond_amp, tol=tol, assembly="moments"))
+    if (ts_moments_ok
+            and condprobe.ts_accuracy_ok_from(cond_amp, tol=tol,
+                                              assembly="moments")):
+        # moment assembly in ts arithmetic: still faster than the rows
+        # body in either arithmetic (measured 8.9 vs 8.0/10.7-at-ds on
+        # the headline config) with a certified f64-grade envelope
+        return Route(path="kernel", kernel_precision="ts",
+                     assembly="moments",
+                     refine_steps=condprobe.pick_ts_from(
+                         cond_amp, tol=tol, assembly="moments"))
     if ts_kernel_ok and condprobe.ts_accuracy_ok_from(cond_amp, tol=tol):
         # certified band: ALL certified kernel routing runs the
         # triple-single variant.  The per-case gate-soundness runs

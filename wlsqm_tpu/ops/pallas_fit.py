@@ -28,6 +28,21 @@ Two arithmetic variants share the same kernel body, selected by the static
   answers), which previously fell to the XLA engine's materialization-bound
   fast/mixed rungs at ~0.04-0.06 M fits/s.
 
+Two assembly bodies share the surrounding machinery, selected by the
+static ``assembly`` argument (see docs/kernel.md "moment-assembly"):
+
+* ``"rows"`` — per-neighbor basis rows; f32 normal matrix as a
+  preconditioner, refinement residuals through the (implied) exact
+  extended-precision matrix.  Tightest calibrated envelope; required
+  for sensitivities and ALGO_ITERATIVE.
+* ``"moments"`` — ``A[j,m] = M[exp_j + exp_m]`` via one-multiply-per-
+  moment chains and a packed extended-precision normal matrix resident
+  in VMEM, making each refinement sweep NO(NO+1)/2 fused ops instead of
+  two K×NO basis passes.  ~12% faster (v5e, headline config) with a
+  ~30x looser calibrated envelope (moment cancellation); the ladder
+  certifies each assembly against its own units
+  (wlsqm_tpu/fitter/calibration.py) and picks the fastest certified one.
+
 Scope: homogeneous batches — one static polynomial order, one knowns
 bitmask (any value; known DOFs are eliminated in-kernel), WEIGHT_UNIFORM
 or WEIGHT_CENTER, ragged nk via masking, optional sensitivities and
@@ -205,6 +220,357 @@ def _basis_cols(ns, delta_cols, exp, invfact_planes=None):
 # refinement sweeps applied to each sensitivity right-hand side (after
 # its direct f32 solve); one sweep reaches ~cond x 1e-13 like the main DOFs
 SENS_SWEEPS = {"ds": 1, "ts": 2}
+
+
+# ---------------------------------------------------------------------------
+# Moment-based assembly (round 4)
+#
+# A[j,m] = sum_k w_k c_kj c_km with PLAIN monomial columns is a weighted
+# MOMENT of the scaled offsets: A[j,m] = M[exp_j + exp_m] where
+# M[e] = sum_k w_k * prod_a d_ka^e_a.  At 2D order 4 the 120 upper-triangle
+# entries collapse onto 45 distinct moments of degree <= 8, and each
+# neighbor's contribution to every moment costs ONE extended-precision
+# multiply (chained from a lower-degree moment) — vs the rows path's
+# per-(k, j, m) work.  The RHS is the same chain rooted at w*f over the
+# degree <= order lattice (which IS the DOF exponent set).  Storing the
+# Jacobi-scaled normal matrix as a PACKED PAIR in VMEM then turns each
+# refinement matvec into NO(NO+1)/2 fused multiply-accumulates instead of
+# two K x NO basis-row passes — the 53%-of-budget item in the round-3
+# roofline (docs/kernel.md).  Reference correspondence: this fuses
+# make_c + make_A + solve of wlsqm/fitter/impl.pyx (47-846) like the rows
+# path, just factored through moments.
+# ---------------------------------------------------------------------------
+
+
+def _moment_lattice(dimension: int, maxdeg: int):
+    """Degree-graded lattice of multi-indices with chain parents.
+
+    Returns (exps, parents, index) where exps is an (NM, dimension)
+    int array ordered by (degree, lex) — so every entry's parent
+    (itself minus one unit on its first nonzero axis) appears earlier —
+    parents[i] = (parent_index, axis) with parents[0] = (None, None),
+    and index maps exponent tuples to positions.
+    """
+    import itertools
+
+    exps = sorted(
+        (e for e in itertools.product(range(maxdeg + 1), repeat=dimension)
+         if sum(e) <= maxdeg),
+        key=lambda e: (sum(e), e))
+    index = {e: i for i, e in enumerate(exps)}
+    parents = [(None, None)]
+    for e in exps[1:]:
+        ax = next(a for a in range(dimension) if e[a] > 0)
+        p = list(e)
+        p[ax] -= 1
+        parents.append((index[tuple(p)], ax))
+    return np.asarray(exps, np.int64), parents, index
+
+
+def _dof_chain(dimension: int, order: int):
+    """Chain parents over the DOF exponent rows (reference DOF order).
+
+    The DOF layout is degree-graded (defs.pyx:79-87), so each row's
+    parent monomial appears at a smaller index.
+    """
+    NO = defs.number_of_dofs(dimension, order)
+    exp = tables.EXPONENTS[dimension][:NO]
+    index = {tuple(int(v) for v in row): j for j, row in enumerate(exp)}
+    chain = []
+    for j, row in enumerate(exp):
+        e = tuple(int(v) for v in row)
+        if sum(e) == 0:
+            chain.append((None, None))
+            continue
+        ax = next(a for a in range(dimension) if e[a] > 0)
+        p = list(e)
+        p[ax] -= 1
+        pj = index[tuple(p)]
+        assert pj < j, "DOF layout must be degree-graded"
+        chain.append((pj, ax))
+    return exp, chain
+
+
+def _moment_vmem_bytes(dimension: int, order: int, K: int,
+                       nplanes: int = 2, tile_s: int = TILE_S) -> int:
+    NO = defs.number_of_dofs(dimension, order)
+    NM = len(_moment_lattice(dimension, 2 * order)[0])
+    NTRI = NO * (NO + 1) // 2
+    tile_bytes = tile_s * TILE_L * 4
+    scratch = nplanes * (NM + NTRI + NO) * tile_bytes
+    inputs = (nplanes * K * dimension + nplanes * K + K + 1
+              + nplanes * NO + nplanes) * tile_bytes
+    outputs = nplanes * NO * tile_bytes
+    return scratch + inputs + outputs
+
+
+def moment_vmem_ok(dimension: int, order: int, K: int,
+                   nplanes: int = 2, tile_s: int = TILE_S) -> bool:
+    """Whether the moment-assembly variant's VMEM state fits (~12 MB)."""
+    return _moment_vmem_bytes(dimension, order, K, nplanes,
+                              tile_s) < 12 * 1024 * 1024
+
+
+def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
+                        refine_steps: int, knowns: int, precision: str,
+                        tile_s: int = TILE_S):
+    """Moment-assembly kernel: basic algorithm only (no sens/iterative)."""
+    ns, NPL, _ = _NS[precision]
+    NO = defs.number_of_dofs(dimension, order)
+    deg = tables.DEGREE[dimension][:NO]
+    exp, dof_chain = _dof_chain(dimension, order)
+    m_exps, m_parents, m_index = _moment_lattice(dimension, 2 * order)
+    NM = len(m_exps)
+    KN = [j for j in range(NO) if (knowns >> j) & 1]
+    kn_slot = {j: i for i, j in enumerate(KN)}
+    UN = [j for j in range(NO) if j not in kn_slot]
+    # packed upper triangle over UNKNOWN DOF pairs (known rows are
+    # identity rows handled at trace time, as in the rows kernel)
+    tri = {}
+    for a, j in enumerate(UN):
+        for m in UN[a:]:
+            tri[(j, m)] = len(tri)
+
+    def m_slot(j, m):
+        """Moment index for A[j, m]."""
+        return m_index[tuple(int(v) for v in (exp[j] + exp[m]))]
+
+    def take(rest, n):
+        return rest[:n], rest[n:]
+
+    def kernel(*refs):
+        rest = list(refs)
+        d_refs, rest = take(rest, NPL)        # delta planes
+        fk_refs, rest = take(rest, NPL)       # data planes
+        (kmask_ref, invs_ref), rest = take(rest, 2)
+        maxd2 = None
+        if weighting == defs.WEIGHT_CENTER:
+            md_refs, rest = take(rest, NPL)
+            maxd2 = tuple(r[...] for r in md_refs)
+        gi_refs = None
+        if KN:
+            gi_refs, rest = take(rest, NPL)
+        x_refs, rest = take(rest, NPL)        # DOF outputs
+        M_refs, rest = take(rest, NPL)        # moment planes (scratch)
+        A_refs, rest = take(rest, NPL)        # packed scaled pair A
+        b_refs, rest = take(rest, NPL)        # RHS planes
+        zero = jnp.zeros((tile_s, TILE_L), jnp.float32)
+
+        def zpad(planes):
+            return tuple(planes) + (zero,) * (NPL - len(planes))
+
+        def at(refs_, *idx):
+            return tuple(r[idx] for r in refs_)
+
+        inv_s = invs_ref[...]
+
+        for r in M_refs:
+            r[...] = jnp.zeros_like(r)
+        for r in b_refs:
+            r[...] = jnp.zeros_like(r)
+
+        if weighting == defs.WEIGHT_CENTER:
+            beta_planes = _const_planes(1.0 - 1e-4, NPL)
+            alpha_planes = _const_planes(1e-4, NPL)
+            # per-case 1/sqrt(maxd2_scaled), hoisted out of the neighbor
+            # loop: turns each neighbor's div+sqrt pair into sqrt+mul
+            s2 = inv_s * inv_s
+            ms = tuple(p * s2 for p in maxd2)
+            ms = (jnp.where(ms[0] > 0, ms[0], 1.0),) + ms[1:]
+            if NPL == 2:
+                r0 = lax.rsqrt(ms[0])
+                irms = (r0, jnp.zeros_like(r0))
+                for _ in range(2):      # Newton in pair arithmetic
+                    t = ns.mul(ns.mul(ms, irms), irms)
+                    e = ns.add_f32(ns.neg(t), jnp.float32(1.0))
+                    irms = tf.renorm((irms[0],
+                                      irms[1] + irms[0] * (0.5 * e[0])))
+            else:
+                one_p = zpad((jnp.ones_like(zero),))
+                irms = ns.div(one_p, ns.sqrt(ms))
+
+        # chain multiply: presplit the per-axis offset planes (ds only)
+        if NPL == 2:
+            def chain_mul(v, dpair, dsplit):
+                return tf.mul_presplit(v, dpair, dsplit)
+        else:
+            def chain_mul(v, dpair, dsplit):
+                return ns.mul(v, dpair)
+
+        def asm_body(k, _):
+            dcols = [ns.mul_f32(at(d_refs, k, a), inv_s)
+                     for a in range(dimension)]
+            dsplits = [tf.split_hi(d[0]) if NPL == 2 else None
+                       for d in dcols]
+            # weights — same problem definition as the rows kernel/engine
+            if weighting == defs.WEIGHT_CENTER:
+                d2 = zpad(())
+                for d in dcols:
+                    d2 = ns.add(d2, ns.mul(d, d))
+                u = ns.mul(ns.sqrt(d2), irms)
+                tmp = ns.add_f32(ns.neg(u), jnp.float32(1.0))
+                t2 = ns.mul(tmp, tmp)
+                w = ns.add(
+                    ns.mul(t2, tuple(jnp.full_like(zero, p)
+                                     for p in beta_planes)),
+                    tuple(jnp.full_like(zero, p) for p in alpha_planes))
+            else:
+                w = zpad((jnp.ones_like(zero),))
+            m = kmask_ref[k]
+            w = tuple(jnp.where(m > 0, p, 0.0) for p in w)
+
+            # A-moment chain rooted at w: one extended multiply per moment.
+            # Accumulation uses the FULL renormalized add: the relaxed
+            # twofloat.acc lets |lo| grow to ~K ulp(hi), whose f32
+            # rounding inflated the calibrated per-case envelope ~30x
+            # (measured 3.9e-13 vs the rows kernel's 1.25e-14 cert unit)
+            vals = [None] * NM
+            vals[0] = w
+            for i in range(NM):
+                if i:
+                    pj, ax = m_parents[i]
+                    vals[i] = chain_mul(vals[pj], dcols[ax], dsplits[ax])
+                a = ns.add(at(M_refs, i), vals[i])
+                for p in range(NPL):
+                    M_refs[p][i] = a[p]
+            # RHS chain rooted at w*f over the DOF exponents
+            wf = ns.mul(w, at(fk_refs, k))
+            bvals = [None] * NO
+            for j in range(NO):
+                pj, ax = dof_chain[j]
+                bvals[j] = wf if pj is None else chain_mul(
+                    bvals[pj], dcols[ax], dsplits[ax])
+                bj = ns.add(at(b_refs, j), bvals[j])
+                for p in range(NPL):
+                    b_refs[p][j] = bj[p]
+            return jnp.int32(0)
+
+        lax.fori_loop(jnp.int32(0), jnp.int32(K), asm_body, jnp.int32(0))
+
+        M = [at(M_refs, i) for i in range(NM)]
+        bs = [at(b_refs, j) for j in range(NO)]
+
+        # knowns: algebraic elimination THROUGH the moments — the
+        # per-neighbor sum_k w (g_j c_j) c_m is exactly g_j M[e_j + e_m]
+        if KN:
+            for mcol in UN:
+                bm = bs[mcol]
+                for j in KN:
+                    g = at(gi_refs, kn_slot[j])
+                    bm = ns.sub(bm, ns.mul(g, M[m_slot(j, mcol)]))
+                bs[mcol] = bm
+
+        # Jacobi scale from the moment diagonal; known DOFs s = 1
+        s = [None] * NO
+        for j in range(NO):
+            if j in kn_slot:
+                s[j] = jnp.ones_like(zero)
+                continue
+            djj = M[m_slot(j, j)][0]
+            s[j] = jnp.where(djj > 0,
+                             lax.rsqrt(jnp.where(djj > 0, djj, 1.0)), 1.0)
+
+        # UNSCALED pair A into the packed VMEM store (plain copies of the
+        # moment planes); the Jacobi factors are applied inside the sweep
+        # as exact pair x f32 products.  Scaling the STORED entries by a
+        # pre-rounded f32 s_j*s_m would perturb A entry-wise by ~6e-8 and
+        # pin the converged solution at the f32 floor (measured: 9e-6 vs
+        # 5e-12 on a cond 2e2 case); scaling them with two extended
+        # multiplies works but costs 120 x 2 pair ops of trace-time math
+        # the sweep formulation gets for free.  The f32 Cholesky PRE-
+        # CONDITIONER uses the f32-rounded scaled entries (harmless).
+        Asc = [[None] * NO for _ in range(NO)]
+        for (j, mcol), t in tri.items():
+            mv = M[m_slot(j, mcol)]
+            for p in range(NPL):
+                A_refs[p][t] = mv[p]
+            Asc[j][mcol] = mv[0] * (s[j] * s[mcol])
+        one = jnp.ones((tile_s, TILE_L), jnp.float32)
+        for j in KN:
+            for mcol in range(j, NO):
+                Asc[j][mcol] = one if mcol == j else zero
+            for i in range(j):
+                Asc[i][j] = zero
+
+        L = [[None] * (i + 1) for i in range(NO)]
+        for j in range(NO):
+            acc_ = Asc[j][j]
+            for kk in range(j):
+                acc_ = acc_ - L[j][kk] * L[j][kk]
+            dj = jnp.sqrt(jnp.maximum(acc_, 1e-30))
+            L[j][j] = dj
+            invd = 1.0 / dj
+            for i in range(j + 1, NO):
+                t = Asc[j][i]
+                for kk in range(j):
+                    t = t - L[i][kk] * L[j][kk]
+                L[i][j] = t * invd
+
+        def chol_solve(rhs):
+            y = [None] * NO
+            for i in range(NO):
+                t = rhs[i]
+                for kk in range(i):
+                    t = t - L[i][kk] * y[kk]
+                y[i] = t / L[i][i]
+            x = [None] * NO
+            for i in range(NO - 1, -1, -1):
+                t = y[i]
+                for kk in range(i + 1, NO):
+                    t = t - L[kk][i] * x[kk]
+                x[i] = t / L[i][i]
+            return x
+
+        # initial solve in the scaled space (hoisted; A @ 0 == 0)
+        y0 = chol_solve([zero if j in kn_slot else bs[j][0] * s[j]
+                         for j in range(NO)])
+
+        # refinement: r_hat_j = s_j (b_j - sum_m A_jm s_m y_m) via the
+        # PACKED PAIR matrix — NO(NO+1)/2 fused multiply-accumulates per
+        # sweep instead of the rows path's two K x NO basis passes.  The
+        # diagonal scalings ride as exact pair x f32 products on the
+        # vectors, never on the stored matrix.
+        def refine(_, ys):
+            ys_p = [tuple(ys[p][j] for p in range(NPL)) for j in range(NO)]
+            sx = [zpad(()) if j in kn_slot else ns.mul_f32(ys_p[j], s[j])
+                  for j in range(NO)]
+            # full renormalized adds: the relaxed mul_add's lo growth sets
+            # the converged fixed point ~1e-13*cond (see the assembly note)
+            acc_ = {j: zpad(()) for j in UN}
+            for (j, mcol), t in tri.items():
+                a = tuple(A_refs[p][t] for p in range(NPL))
+                acc_[j] = ns.add(acc_[j], ns.mul(a, sx[mcol]))
+                if mcol != j:
+                    acc_[mcol] = ns.add(acc_[mcol], ns.mul(a, sx[j]))
+            out = []
+            rh = []
+            for j in range(NO):
+                if j in kn_slot:
+                    rh.append(zero)
+                    continue
+                rh.append(ns.sub(bs[j], acc_[j])[0] * s[j])
+            dy = chol_solve(rh)
+            for j in range(NO):
+                if j in kn_slot:
+                    out.append(ys_p[j])
+                else:
+                    out.append(ns.add_f32(ys_p[j], dy[j]))
+            return tuple([o[p] for o in out] for p in range(NPL))
+
+        ys = ((y0,) + tuple([zero] * NO for _ in range(NPL - 1)))
+        ys = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps),
+                           refine, ys)
+
+        # back to the (radius-scaled) DOF space: x_j = s_j y_j
+        for j in range(NO):
+            if j in kn_slot:
+                v = at(gi_refs, kn_slot[j])
+            else:
+                v = ns.mul_f32(tuple(ys[p][j] for p in range(NPL)), s[j])
+            for p in range(NPL):
+                x_refs[p][j] = v[p]
+
+    return kernel, NO, deg, NM, len(tri)
 
 
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
@@ -597,12 +963,12 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 @partial(jax.jit, static_argnames=("dimension", "order", "weighting",
                                    "refine_steps", "interpret", "do_sens",
                                    "max_iter", "knowns", "precision",
-                                   "tile_s"))
+                                   "tile_s", "assembly"))
 def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
                weighting: int, refine_steps: int | None = None,
                interpret: bool = False, do_sens: bool = False,
                max_iter: int = 0, knowns: int = 0, precision: str = "ds",
-               tile_s: int | None = None):
+               tile_s: int | None = None, assembly: str = "auto"):
     """Fused-kernel fit of a homogeneous batch (see module docstring).
 
     xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
@@ -617,6 +983,8 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     and refinement dependency chains at ``tile_s``× the VMEM footprint.
     Per-case results are bit-identical for any value (the arithmetic
     never crosses lanes); B must divide by ``tile_s * 128``.
+    assembly: "auto" (default — the moment path for basic fits when its
+    VMEM state fits, basis rows otherwise), "moments", or "rows".
     Returns fi (B, NO) f64, with iters (B,) i32 appended when max_iter > 0
     and sens (B, K, NO) f64 appended when do_sens — in that order.
     """
@@ -628,10 +996,23 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     B, K, _ = xk.shape
     assert B % tile == 0, "pad the batch to a multiple of %d" % tile
     nblk = B // tile
+    if assembly not in ("auto", "moments", "rows"):
+        raise ValueError(f"assembly must be auto|moments|rows, got {assembly}")
+    use_moments = assembly == "moments" or (
+        assembly == "auto" and not do_sens and max_iter == 0
+        and moment_vmem_ok(dimension, order, K, NPL, ts_))
+    if use_moments and (do_sens or max_iter):
+        raise ValueError("assembly='moments' covers the basic algorithm "
+                         "only (no sensitivities / ALGO_ITERATIVE)")
     store_basis = _store_basis(dimension, order, K, do_sens, NPL, ts_)
-    kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
-                                   refine_steps, store_basis, do_sens,
-                                   max_iter, knowns, precision, ts_)
+    if use_moments:
+        kernel, NO, deg, NM, NTRI = _make_kernel_moment(
+            dimension, order, K, weighting, refine_steps, knowns,
+            precision, ts_)
+    else:
+        kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
+                                       refine_steps, store_basis, do_sens,
+                                       max_iter, knowns, precision, ts_)
     KN = [j for j in range(NO) if (knowns >> j) & 1]
 
     # host-side (XLA) preprocessing: plane split + tile layout
@@ -720,14 +1101,22 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
                          lambda i: (i, z, z, z, z)) for _ in range(NPL)]
     out_shape = tuple(out_shape)
     out_specs = tuple(out_specs)
-    scratch = [pltpu.VMEM((NO, NO, ts_, TILE_L), jnp.float32)]         # A
-    scratch += [pltpu.VMEM((NO, ts_, TILE_L), jnp.float32)             # b
-                for _ in range(NPL)]
-    scratch += [pltpu.VMEM((K, ts_, TILE_L), jnp.float32)              # w
-                for _ in range(NPL)]
-    if store_basis:
-        scratch += [pltpu.VMEM((K, NO, ts_, TILE_L), jnp.float32)      # c
+    if use_moments:
+        scratch = [pltpu.VMEM((NM, ts_, TILE_L), jnp.float32)          # M
+                   for _ in range(NPL)]
+        scratch += [pltpu.VMEM((max(NTRI, 1), ts_, TILE_L), jnp.float32)
+                    for _ in range(NPL)]                               # A
+        scratch += [pltpu.VMEM((NO, ts_, TILE_L), jnp.float32)         # b
                     for _ in range(NPL)]
+    else:
+        scratch = [pltpu.VMEM((NO, NO, ts_, TILE_L), jnp.float32)]     # A
+        scratch += [pltpu.VMEM((NO, ts_, TILE_L), jnp.float32)         # b
+                    for _ in range(NPL)]
+        scratch += [pltpu.VMEM((K, ts_, TILE_L), jnp.float32)          # w
+                    for _ in range(NPL)]
+        if store_basis:
+            scratch += [pltpu.VMEM((K, NO, ts_, TILE_L), jnp.float32)  # c
+                        for _ in range(NPL)]
 
     outs = pl.pallas_call(
         kernel,
@@ -781,7 +1170,8 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
 _JIT_CACHE = {}
 
 _STATIC = ("dimension", "order", "weighting", "refine_steps", "interpret",
-           "do_sens", "max_iter", "knowns", "precision", "tile_s")
+           "do_sens", "max_iter", "knowns", "precision", "tile_s",
+           "assembly")
 
 
 def fit_pallas_jit(*args, **kwargs):

@@ -34,7 +34,7 @@ from wlsqm_tpu.ops.twofloat import quick_two_sum, two_prod, two_sum
 
 __all__ = [
     "from_f64", "to_f64", "from_f32",
-    "renorm", "add", "sub", "neg", "add_f32",
+    "renorm", "add", "sub", "neg", "add_f32", "acc", "mul_add",
     "mul", "mul_f32", "div", "sqrt",
 ]
 
@@ -87,6 +87,17 @@ def add(x, y):
 
 def sub(x, y):
     return add(x, neg(y))
+
+
+def acc(a, x):
+    """Accumulate ``a + x`` (full-precision; the ts counterpart of
+    twofloat.acc — the triple add is already the cheapest safe form)."""
+    return add(a, x)
+
+
+def mul_add(a, x, y):
+    """Fused ``a + x*y`` (full-precision composition for ts)."""
+    return add(a, mul(x, y))
 
 
 def add_f32(x, a):

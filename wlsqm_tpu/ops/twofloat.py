@@ -32,6 +32,7 @@ __all__ = [
     "from_f64", "to_f64", "from_f32",
     "two_sum", "quick_two_sum", "two_prod",
     "add", "sub", "mul", "mul_f32", "add_f32", "neg", "div", "sqrt",
+    "acc", "mul_add", "renorm",
     "sum_along", "dot",
 ]
 
@@ -97,6 +98,51 @@ def add(x, y):
     s, e = two_sum(x[0], y[0])
     e = e + (x[1] + y[1])
     return quick_two_sum(s, e)
+
+
+def acc(a, x):
+    """Relaxed accumulate ``a + x`` WITHOUT renormalization (8 flops).
+
+    The hi channel stays exact (two_sum); rounding errors and the lo
+    words pile up un-renormalized in the lo channel, so after n
+    accumulations |lo| can reach ~n·ulp(hi) — call :func:`renorm` once
+    at the end.  Saves the quick_two_sum of :func:`add` in reduction
+    loops (the fused kernel's moment accumulation).
+    """
+    s, e = two_sum(a[0], x[0])
+    return s, a[1] + (e + x[1])
+
+
+def mul_add(a, x, y):
+    """Relaxed fused ``a + x*y`` (~25 flops): exact hi-channel product
+    and sum, single-rounded lo channel, no renormalization (see
+    :func:`acc` for the growth caveat)."""
+    p, e = two_prod(x[0], y[0])
+    e = e + (x[0] * y[1] + x[1] * y[0])
+    s, e2 = two_sum(a[0], p)
+    return s, a[1] + (e + e2)
+
+
+def renorm(x):
+    """Restore the |lo| <= ulp(hi)/2 invariant after relaxed ops."""
+    return quick_two_sum(x[0], x[1])
+
+
+def split_hi(a):
+    """Precompute the masked split of a plane for :func:`mul_presplit`."""
+    return _split_mask(a)
+
+
+def mul_presplit(x, y, ysplit):
+    """Pair * pair with ``y[0]``'s split precomputed (saves 3 flops per
+    product when the same multiplicand feeds many products — the fused
+    kernel's moment chains reuse each axis offset ~20x per neighbor)."""
+    yh, yl = ysplit
+    p = x[0] * y[0]
+    xh, xl = _split_mask(x[0])
+    e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    e = e + (x[0] * y[1] + x[1] * y[0])
+    return quick_two_sum(p, e)
 
 
 def neg(x):

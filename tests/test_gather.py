@@ -183,3 +183,26 @@ def test_overflow_blocks_fall_back_to_xla_rows():
     u = rng.standard_normal((n, 2))
     out = gather.gather_rows(u, idx.astype(np.int32), plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), u[idx])
+
+
+def test_pair_gather_bf16_chunks(rng):
+    """The TPU fast path's exact 3-chunk bf16 payload encoding selects
+    bit-identically to the f32 path (selection by 0/1 never mixes
+    values; chunk re-sum is exact)."""
+    import jax.numpy as jnp
+
+    from wlsqm_tpu.ops import gather as gth
+    from wlsqm_tpu.ops import twofloat as tf
+
+    n, B, K = 4096, 512, 12
+    pts = rng.uniform(-1, 1, (n, 2))
+    pts = pts[gth.morton_order(pts)]
+    idx = np.stack([(np.arange(B) * 7 + k * 3) % n for k in range(K)], 1)
+    plan = gth.plan_window_gather(idx, n)
+    u = rng.standard_normal(n)
+    up = tf.from_f64(jnp.asarray(u))
+    ref_hi, ref_lo = (np.asarray(up[0])[idx], np.asarray(up[1])[idx])
+    out_hi, out_lo = gth.gather_rows_pair(up, jnp.asarray(idx), plan,
+                                          interpret=True, chunk_bf16=True)
+    np.testing.assert_array_equal(np.asarray(out_hi), ref_hi)
+    np.testing.assert_array_equal(np.asarray(out_lo), ref_lo)

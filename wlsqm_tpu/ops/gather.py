@@ -211,17 +211,22 @@ def _gather_kernel(meta_ref, idx_ref, u_hbm, out_ref, win, sem, *,
     raw = idx_ref[...]                                    # (1, TKp)
     loc = jnp.where(raw >= thr, raw - s2 + window, raw - s1)
     row = jax.lax.broadcasted_iota(jnp.int32, (2 * window, TKp), 0)
-    ohT = (row == loc).astype(jnp.float32)                # (2W, TKp)
+    dt = win.dtype
+    ohT = (row == loc).astype(dt)                         # (2W, TKp)
     slot = jax.lax.rem(b, np.int32(nbuf))
     d1, d2 = dmas(b, slot)
     d1.wait()
     d2.wait()
-    # HIGHEST precision: the TPU matmul otherwise runs bf16 passes, which
-    # would truncate the f32 payload planes (selection must be exact)
+    # precision: selection by a 0/1 matrix is exact when the payload
+    # plane dtype survives the MXU pass.  bf16 payload chunks (the TPU
+    # fast path — each f32 plane split into three exact bf16 chunks by
+    # the caller) run ONE default pass; f32 planes (bit-exact CPU/
+    # interpret path) need HIGHEST so the MXU does not truncate them.
+    prec = (jax.lax.Precision.DEFAULT if dt == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     out_ref[...] = jax.lax.dot_general(
         win[slot], ohT, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+        precision=prec, preferred_element_type=jnp.float32)
 
 
 def _tkp(plan: GatherPlan) -> int:
@@ -229,37 +234,49 @@ def _tkp(plan: GatherPlan) -> int:
     return -(-plan.T * plan.K // 128) * 128
 
 
-@partial(jax.jit, static_argnames=("plan", "interpret"))
-def _gather_f32(u2t, idx_t, plan: GatherPlan, interpret: bool = False):
-    """u2t (F2p, n_pad) f32, idx_t (nblk, 1, TKp) int32
-    -> (nblk, F2p, TKp)."""
+@partial(jax.jit, static_argnames=("window", "nblk", "TKp", "interpret"))
+def _gather_sel(u2t, idx_t, meta, *, window: int, nblk: int, TKp: int,
+                interpret: bool = False):
+    """The dual-window one-hot selection kernel, meta as a RUNTIME array.
+
+    u2t (F2p, n_pad) f32|bf16, idx_t (nblk, 1, TKp) i32,
+    meta (nblk, 3) i32 -> (nblk, F2p, TKp) f32.  Split from the
+    plan-static wrapper so shard_map can feed per-shard meta/idx slices
+    through one compiled program (parallel/sharding.py).
+    """
     F2p = u2t.shape[0]
-    TKp = _tkp(plan)
-    meta = jnp.asarray(
-        np.asarray(plan.meta, np.int32).reshape(plan.nblk, 3))
     # index-map literals must be i32: under jax_enable_x64 a plain 0
     # lowers to i64, which Mosaic rejects (same pitfall as ops/pallas_fit)
     z = np.int32(0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(plan.nblk,),
+        grid=(nblk,),
         in_specs=[
             pl.BlockSpec((None, 1, TKp), lambda b, s: (b, z, z)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((None, F2p, TKp), lambda b, s: (b, z, z)),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, F2p, 2 * plan.window), jnp.float32),
+            pltpu.VMEM((NBUF, F2p, 2 * window), u2t.dtype),
             pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
     return pl.pallas_call(
-        partial(_gather_kernel, window=plan.window, F2p=F2p, TKp=TKp,
-                nblk=plan.nblk),
+        partial(_gather_kernel, window=window, F2p=F2p, TKp=TKp,
+                nblk=nblk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.nblk, F2p, TKp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblk, F2p, TKp), jnp.float32),
         interpret=interpret,
     )(meta, idx_t, u2t)
+
+
+def _gather_f32(u2t, idx_t, plan: GatherPlan, interpret: bool = False):
+    """u2t (F2p, n_pad) f32|bf16, idx_t (nblk, 1, TKp) int32
+    -> (nblk, F2p, TKp) f32."""
+    meta = jnp.asarray(
+        np.asarray(plan.meta, np.int32).reshape(plan.nblk, 3))
+    return _gather_sel(u2t, idx_t, meta, window=plan.window,
+                       nblk=plan.nblk, TKp=_tkp(plan), interpret=interpret)
 
 
 def _prep_idx(idx, plan: GatherPlan):
@@ -277,29 +294,62 @@ def _prep_idx(idx, plan: GatherPlan):
     return flat[:, None, :]
 
 
-def _gather_planes(planes, idx, plan: GatherPlan, interpret: bool):
-    """Gather f32 planes ``planes[idx]``: (n, F2) -> (B, K, F2)."""
+def _split_bf16(x):
+    """Exact 3-chunk bf16 split of f32 planes: (n, F) -> (n, 3F) bf16.
+
+    f32's 24 mantissa bits fit three 8-bit bf16 chunks exactly (same
+    exponent range), so ``c0+c1+c2 == x`` bit-exactly in f32 arithmetic —
+    modulo bf16 subnormal flushing below ~1e-38, well inside the TPU
+    pair path's documented 2^-48 relative fidelity.
+    """
+    b0 = x.astype(jnp.bfloat16)
+    r = x - b0.astype(jnp.float32)
+    b1 = r.astype(jnp.bfloat16)
+    b2 = (r - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([b0, b1, b2], axis=-1).reshape(x.shape[0], -1)
+
+
+def _gather_planes(planes, idx, plan: GatherPlan, interpret: bool,
+                   chunk_bf16: bool = False):
+    """Gather f32 planes ``planes[idx]``: (n, F2) -> (B, K, F2).
+
+    ``chunk_bf16``: split each f32 plane into three exact bf16 chunks so
+    the one-hot selection matmul runs ONE default-precision MXU pass
+    instead of HIGHEST's six — the extra planes ride the M-padding slack
+    of the skinny payload for free (measured ~2x on the F=1 IBVP step).
+    """
     B, K = idx.shape
     n = planes.shape[0]
     pad_n = plan.n_pad - n
     if pad_n > 0:
         planes = jnp.concatenate(
             [planes, jnp.zeros((pad_n, planes.shape[1]), jnp.float32)])
+    F0 = planes.shape[1]
+    if chunk_bf16:
+        planes = _split_bf16(planes)
+    dt = planes.dtype
     F2 = planes.shape[1]
-    F2p = -(-F2 // 8) * 8          # sublane-pad the feature-major planes
+    # sublane-pad the feature-major planes (16 for bf16 tiling, 8 for f32)
+    sub = 16 if dt == jnp.bfloat16 else 8
+    F2p = -(-F2 // sub) * sub
     u2t = planes.T
     if F2p > F2:
         u2t = jnp.concatenate(
-            [u2t, jnp.zeros((F2p - F2, u2t.shape[1]), jnp.float32)])
+            [u2t, jnp.zeros((F2p - F2, u2t.shape[1]), dt)])
     out = _gather_f32(u2t, _prep_idx(idx, plan), plan,
                       interpret=interpret)                # (nblk, F2p, TKp)
     TK = plan.T * plan.K
     out = out[:, :F2, :TK]                                # strip padding
-    return jnp.moveaxis(out, 1, 2).reshape(plan.nblk * plan.T, K, F2)[:B]
+    out = jnp.moveaxis(out, 1, 2).reshape(plan.nblk * plan.T, K, F2)[:B]
+    if chunk_bf16:
+        c = out.reshape(B, K, F0, 3)
+        out = (c[..., 0] + c[..., 1]) + c[..., 2]   # exact chunk re-sum
+    return out
 
 
 def gather_rows_pair(u_pair, idx, plan: GatherPlan, *,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     chunk_bf16: bool | None = None):
     """``u[idx]`` for a double-single (hi, lo) f32 pair — no f64 ops at all.
 
     For ds-resident state (e.g. an IBVP field kept as an f32 pair across
@@ -328,7 +378,10 @@ def gather_rows_pair(u_pair, idx, plan: GatherPlan, *,
     lo2 = lo[:, None] if squeeze else lo
     F = hi2.shape[1]
     planes = jnp.concatenate([hi2, lo2], axis=1)          # (n, 2F)
-    out = _gather_planes(planes, idx, plan, interpret)    # (B, K, 2F)
+    if chunk_bf16 is None:
+        chunk_bf16 = not interpret and jax.default_backend() != "cpu"
+    out = _gather_planes(planes, idx, plan, interpret,
+                         chunk_bf16=chunk_bf16)           # (B, K, 2F)
     res_hi, res_lo = out[..., :F], out[..., F:]
     if plan.bad_blocks:
         B = idx.shape[0]
@@ -395,7 +448,8 @@ def gather_rows(u, idx, plan: GatherPlan, *, interpret: bool = False):
                 "4-byte integer payloads need exact bitcasts, which this "
                 "backend cannot lower; use a float view")
         planes = u2d.astype(jnp.float32)                        # (n, F)
-    out = _gather_planes(planes, idx, plan, interpret)    # (B, K, F2)
+    out = _gather_planes(planes, idx, plan, interpret,
+                         chunk_bf16=not bit_exact)        # (B, K, F2)
     if bit_exact:
         halves_out = out.reshape(B, K, F, W, 2).astype(jnp.uint32)
         words_out = (halves_out[..., 0]

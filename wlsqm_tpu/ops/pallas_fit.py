@@ -821,14 +821,20 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 return basis_at(k)[1]
 
             def iter_body(_, st):
-                xh_pl, done, prev, itn = st[:-3], st[-3], st[-2], st[-1]
+                xh_pl, done = st[:-4], st[-4]
+                prev0, prev1, itn = st[-3], st[-2], st[-1]
                 xh = [tuple(xh_pl[p][j] for p in range(NPL))
                       for j in range(NO)]
 
                 # carry NPL uniform lists of f32 tiles (the same carry
                 # structure as the refinement matvec, which Mosaic's layout
-                # inference handles); slot NO of the leading list holds the
-                # running l-inf residual norm
+                # inference handles); slot NO holds the running l-inf
+                # residual norm as an EXTENDED (hi, lo) value: the
+                # reference's exact-stagnation rule compares f64 norms
+                # (wlsqm/fitter/impl.pyx:1057-1061), and an f32-only norm
+                # collapses distinct residual levels early, stagnating the
+                # count at ~1 where the engine reports 1-10 (round-3
+                # iteration-parity table)
                 def k_sweep(k, acc):
                     ck = crow_it(k)
                     m = zpad(())
@@ -844,21 +850,33 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                                     ns.mul(ck[j], wr))
                         for p in range(NPL):
                             np_[p].append(bj[p])
-                    np_[0].append(jnp.maximum(acc[0][NO], jnp.abs(r[0])))
-                    for p in range(1, NPL):
+                    # |r| as a pair (sign of the renormalized leading plane
+                    # is the sign of the value; lo follows it)
+                    sg = jnp.where(r[0] != 0.0, jnp.sign(r[0]),
+                                   jnp.sign(r[1] if NPL > 1 else r[0]))
+                    a0 = r[0] * sg
+                    a1 = (r[1] * sg) if NPL > 1 else zero
+                    c0, c1 = acc[0][NO], acc[1][NO] if NPL > 1 else zero
+                    take = (a0 > c0) | ((a0 == c0) & (a1 > c1))
+                    np_[0].append(jnp.where(take, a0, c0))
+                    if NPL > 1:
+                        np_[1].append(jnp.where(take, a1, c1))
+                    for p in range(2, NPL):
                         np_[p].append(acc[p][NO])
                     return tuple(np_)
 
                 acc0 = tuple([zero] * (NO + 1) for _ in range(NPL))
                 bpl = lax.fori_loop(jnp.int32(0), jnp.int32(K), k_sweep, acc0)
-                nrm = bpl[0][NO]
+                nrm0 = bpl[0][NO]
+                nrm1 = bpl[1][NO] if NPL > 1 else zero
                 # done carried as a 0/1 f32 tile (Mosaic handles f32 loop
                 # carries; vector-of-i1 carries can abort the compiler)
                 # .astype keeps the select in f32 — a bare
                 # where(pred, 1.0, 0.0) under jax_enable_x64 materializes an
                 # f64 vector, which Mosaic's layout inference aborts on
-                done_now = jnp.maximum(done,
-                                       (nrm == prev).astype(jnp.float32))
+                done_now = jnp.maximum(
+                    done,
+                    ((nrm0 == prev0) & (nrm1 == prev1)).astype(jnp.float32))
                 # zero known-DOF rows of the corrective RHS: the identity
                 # row of the masked factor would otherwise return
                 # dy_j = bh_j != 0 and drift the prescribed coefficients
@@ -877,14 +895,14 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                     for p in range(NPL):
                         out[p].append(jnp.where(upd, nx[p], xh[j][p]))
                 itn = itn + upd.astype(jnp.float32)
-                return tuple(out) + (done_now, nrm, itn)
+                return tuple(out) + (done_now, nrm0, nrm1, itn)
 
             st0 = tuple([ph[p] for ph in xhat] for p in range(NPL)) + (
                 zero,
-                jnp.full((tile_s, TILE_L), -1.0, jnp.float32), zero)
+                jnp.full((tile_s, TILE_L), -1.0, jnp.float32), zero, zero)
             stN = lax.fori_loop(jnp.int32(0), jnp.int32(max_iter),
                                 iter_body, st0)
-            opl, itn = stN[:-3], stN[-1]
+            opl, itn = stN[:-4], stN[-1]
             xhat = [tuple(opl[p][j] for p in range(NPL)) for j in range(NO)]
             itr_ref[...] = itn
 

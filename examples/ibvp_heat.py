@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 import wlsqm_tpu as wt
+from wlsqm_tpu.ops import gather as gth
 from wlsqm_tpu.utils import neighbors
 
 
@@ -45,8 +46,13 @@ def main():
         np.stack([np.ones_like(t), t], -1),
     ])
     pts = np.concatenate([interior, boundary])
+    # Morton-order the cloud: neighbor indices become spatially local, so
+    # the window-gather kernel can serve the per-step u[idx] (the
+    # measured bottleneck of the XLA step — benchmarks/README.md)
+    perm = gth.morton_order(pts)
+    pts = pts[perm]
     n = len(pts)
-    is_interior = np.arange(n) < n_interior
+    is_interior = perm < n_interior
 
     # manufactured solution: u(x,y,t) = exp(-2 pi^2 nu t) sin(pi x) sin(pi y)
     def exact(p, tt):
@@ -70,9 +76,21 @@ def main():
     interior_mask = jnp.asarray(is_interior)
     idx = jnp.asarray(xk_idx)
 
+    # window-gather plan for the per-step neighbor lookup (Morton-ordered
+    # cloud => spatially local indices); None when too many blocks
+    # overflow — or on CPU, where XLA's gather is not the bottleneck —
+    # in which case the plain u[idx] serves
+    plan = (gth.plan_window_gather(xk_idx, n)
+            if jax.default_backend() != "cpu" else None)
+    if plan is not None:
+        print(f"window gather: coverage {plan.coverage:.1%}")
+
+    def gather(u):
+        return u[idx] if plan is None else gth.gather_rows(u, idx, plan)
+
     @jax.jit
     def step(u, _):
-        fk = u[idx]                                   # gather neighbor values
+        fk = gather(u)                                # gather neighbor values
         fi, _sens = wt.solve(prep, fk)
         lap = fi[:, lap_idx].sum(axis=1)
         u_new = u + dt * nu * lap
@@ -107,7 +125,7 @@ def main():
 
     @jax.jit
     def multi_step(u, _):
-        fk = u[idx]                                   # ONE gather: (B, K, F)
+        fk = gather(u)                                # ONE gather: (B, K, F)
         fi, _sens = wt.solve(prep, jnp.moveaxis(fk, -1, 0))   # (F, B, NO)
         lap = fi[..., lap_idx].sum(-1)                # (F, B)
         u_new = u + dt * nus_j[None, :] * lap.T

@@ -213,6 +213,33 @@ def test_sharded_gather_values_matches_global(rng):
 
 
 @needs_devices
+def test_sharded_gather_values_window_plan(rng):
+    """With a GatherPlan the shard-local gathers run the window kernel
+    (per-shard runtime metadata + dynamic overflow patch) and still
+    reproduce plain fancy indexing."""
+    import jax.numpy as jnp
+
+    from wlsqm_tpu.ops import gather as gth
+
+    n, K, F = 2048, 8, 2
+    pts = rng.uniform(-1, 1, (n, 2))
+    pts = pts[gth.morton_order(pts)]
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d2, axis=1)[:, 1:K + 1].astype(np.int32)
+    B = n
+    plan = gth.plan_window_gather(idx, n, window=256)
+    assert plan is not None and plan.nblk % 8 == 0
+    vals = rng.standard_normal((n, F))
+    mesh = sharding.make_mesh()
+    got = sharding.sharded_gather_values(mesh, jnp.asarray(vals),
+                                         jnp.asarray(idx), plan=plan)
+    assert got.shape == (B, K, F)
+    # the f64 payload rides the (hi, lo) pair encoding: 2^-48 relative
+    np.testing.assert_allclose(np.asarray(got), vals[idx],
+                               rtol=4e-15, atol=1e-14)
+
+
+@needs_devices
 def test_sharded_ibvp_step_matches_single_device(rng):
     """A full sharded IBVP time step (shard-local gather + case-sharded
     prepared solve, multi-field) reproduces the single-device step

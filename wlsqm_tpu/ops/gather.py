@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["morton_order", "plan_window_gather", "gather_rows",
-           "gather_rows_pair", "GatherPlan"]
+           "gather_rows_pair", "gather_local", "GatherPlan"]
 
 #: cases per block (grid step); must be a multiple of 8 so T*K rows tile
 BLOCK_T = 16
@@ -294,18 +294,34 @@ def _prep_idx(idx, plan: GatherPlan):
     return flat[:, None, :]
 
 
+#: keep sign + exponent + top 7 mantissa bits — exactly a (truncating)
+#: bf16, but produced by BIT MASKING so XLA cannot fuse the
+#: cast-subtract chain away.  A plain ``x - f32(bf16(x))`` split is
+#: algebraically simplified to zero by XLA inside larger traces
+#: (measured: exact standalone, bf16-grade inside a lax.scan step) —
+#: the same hazard ops/twofloat.py documents for Dekker splits.
+_BF16_MASK = np.uint32(0xFFFF0000)
+
+
+def _bf16_chunk(x):
+    v = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.uint32) & _BF16_MASK,
+        jnp.float32)
+    return v.astype(jnp.bfloat16), x - v
+
+
 def _split_bf16(x):
     """Exact 3-chunk bf16 split of f32 planes: (n, F) -> (n, 3F) bf16.
 
-    f32's 24 mantissa bits fit three 8-bit bf16 chunks exactly (same
+    f32's 24 significand bits fit three 8-bit bf16 chunks exactly (same
     exponent range), so ``c0+c1+c2 == x`` bit-exactly in f32 arithmetic —
     modulo bf16 subnormal flushing below ~1e-38, well inside the TPU
-    pair path's documented 2^-48 relative fidelity.
+    pair path's documented 2^-48 relative fidelity.  Chunks are produced
+    by mantissa masking (see :data:`_BF16_MASK`), never by bare casts.
     """
-    b0 = x.astype(jnp.bfloat16)
-    r = x - b0.astype(jnp.float32)
-    b1 = r.astype(jnp.bfloat16)
-    b2 = (r - b1.astype(jnp.float32)).astype(jnp.bfloat16)
+    b0, r = _bf16_chunk(x)
+    b1, r2 = _bf16_chunk(r)
+    b2 = r2.astype(jnp.bfloat16)   # <= 8 significand bits left: exact
     return jnp.stack([b0, b1, b2], axis=-1).reshape(x.shape[0], -1)
 
 
@@ -394,6 +410,69 @@ def gather_rows_pair(u_pair, idx, plan: GatherPlan, *,
     if squeeze:
         return res_hi[..., 0], res_lo[..., 0]
     return res_hi, res_lo
+
+
+@partial(jax.jit, static_argnames=("window", "TKp", "n_pad", "T",
+                                   "interpret"))
+def gather_local(v_all, idx_s, meta_s, bad_s, *, window: int, TKp: int,
+                 n_pad: int, T: int, interpret: bool = False):
+    """Shard-local window gather against a replicated value array.
+
+    The shard_map-composable form of :func:`gather_rows`: the per-block
+    window metadata arrives as a RUNTIME array (``meta_s``, the shard's
+    slice of the global plan), and rows of overflow blocks patch through
+    a dynamic plain gather (``bad_s`` — shard-local case rows, padded
+    with 0: row 0 is simply rewritten with its correct value).  Used by
+    :func:`wlsqm_tpu.parallel.sharding.sharded_gather_values`.
+
+    v_all (n, F)|(n,) f32/f64 — the all-gathered cloud values;
+    idx_s (Bs, K) i32 with ``Bs == meta_s.shape[0] * T``.
+    Returns the shard's ``v_all[idx_s]`` (f64 at the TPU pair path's
+    2^-48 fidelity; f32 exact).
+    """
+    squeeze = v_all.ndim == 1
+    v2 = v_all[:, None] if squeeze else v_all
+    F = v2.shape[1]
+    if v2.dtype == jnp.float64:
+        hi = v2.astype(jnp.float32)
+        lo = (v2 - hi.astype(jnp.float64)).astype(jnp.float32)
+        planes = jnp.concatenate([hi, lo], axis=1)
+    else:
+        planes = v2.astype(jnp.float32)
+    F0 = planes.shape[1]
+    pad_n = n_pad - v2.shape[0]
+    if pad_n > 0:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad_n, F0), jnp.float32)])
+    planes = _split_bf16(planes)
+    F2 = planes.shape[1]
+    F2p = -(-F2 // 16) * 16
+    u2t = planes.T
+    if F2p > F2:
+        u2t = jnp.concatenate(
+            [u2t, jnp.zeros((F2p - F2, u2t.shape[1]), planes.dtype)])
+    Bs, K = idx_s.shape
+    nblk_s = meta_s.shape[0]
+    flat = jnp.asarray(idx_s, jnp.int32).reshape(nblk_s, T * K)
+    pad_r = TKp - T * K
+    if pad_r:
+        flat = jnp.concatenate(
+            [flat, jnp.full((nblk_s, pad_r), -1, jnp.int32)], axis=1)
+    out = _gather_sel(u2t, flat[:, None, :], jnp.asarray(meta_s, jnp.int32),
+                      window=window, nblk=nblk_s, TKp=TKp,
+                      interpret=interpret)
+    out = out[:, :F2, :T * K]
+    out = jnp.moveaxis(out, 1, 2).reshape(Bs, K, F2)
+    c = out.reshape(Bs, K, F0, 3)
+    out = (c[..., 0] + c[..., 1]) + c[..., 2]
+    if v2.dtype == jnp.float64:
+        res = (out[..., :F].astype(jnp.float64)
+               + out[..., F:].astype(jnp.float64))
+    else:
+        res = out.astype(v2.dtype)
+    bad = jnp.asarray(bad_s, jnp.int32)
+    res = res.at[bad].set(v2[idx_s[bad]])
+    return res[..., 0] if squeeze else res
 
 
 def gather_rows(u, idx, plan: GatherPlan, *, interpret: bool = False):

@@ -344,7 +344,7 @@ def sharded_interpolate_nearest(mesh: Mesh, fi, xi, x, *, dimension: int,
 
 
 def sharded_gather_values(mesh: Mesh, values, idx,
-                          axis_name: str = CASE_AXIS):
+                          axis_name: str = CASE_AXIS, plan=None):
     """Shard-local neighbor-value gather for distributed IBVP stepping.
 
     ``values`` (n, ...) — per-point field values, sharded over the mesh;
@@ -357,16 +357,63 @@ def sharded_gather_values(mesh: Mesh, values, idx,
     gather), combining with :func:`sharded_solve_prepared`'s multi-RHS
     path for the fully amortized step.
 
+    ``plan``: an :class:`wlsqm_tpu.ops.gather.GatherPlan` built for the
+    FULL ``idx`` (Morton-ordered cloud) — the shard-local gathers then
+    run the window kernel (measured 2.5x the XLA gather on the F=1 step,
+    BASELINE.md round 4): each shard receives its slice of the plan's
+    block metadata as a runtime array and patches overflow-block rows
+    dynamically.  Requires the blocks to divide evenly over the shards
+    (B a multiple of D * plan.T); otherwise — or with ``plan=None`` —
+    the plain XLA gather serves.
+
     Returns (B, K, ...) neighbor values, sharded like ``idx``.
     """
     values = jnp.asarray(values)
     idx = jnp.asarray(idx)
+    spec = P(axis_name)
+    D = mesh.shape[axis_name]
+    B, K = idx.shape
+
+    if (plan is not None and B == plan.T * plan.nblk
+            and plan.nblk % D == 0 and K == plan.K
+            and values.shape[0] == plan.n):
+        from wlsqm_tpu.ops import gather as gth
+
+        nblk_s = plan.nblk // D
+        Bs = B // D
+        meta = np.asarray(plan.meta, np.int32).reshape(plan.nblk, 3)
+        # shard-local overflow rows (each block lies in one shard since
+        # Bs = nblk_s * T), padded with 0 — row 0 is rewritten with its
+        # own correct value, which is benign
+        by_shard = [[] for _ in range(D)]
+        for b in plan.bad_blocks:
+            s = (b * plan.T) // Bs
+            by_shard[s].extend(
+                r - s * Bs for r in range(b * plan.T,
+                                          min((b + 1) * plan.T, B)))
+        mb = max(1, max(len(r) for r in by_shard))
+        bad = np.zeros((D, mb), np.int32)
+        for s, rows in enumerate(by_shard):
+            bad[s, :len(rows)] = rows
+        TKp = -(-plan.T * plan.K // 128) * 128
+        interp = jax.default_backend() == "cpu"
+
+        def local_win(v_s, idx_s, meta_s, bad_s):
+            v_all = jax.lax.all_gather(v_s, axis_name, axis=0, tiled=True)
+            return gth.gather_local(
+                v_all, idx_s, meta_s, bad_s[0], window=plan.window,
+                TKp=TKp, n_pad=plan.n_pad, T=plan.T, interpret=interp)
+
+        fn = jax.shard_map(
+            local_win, mesh=mesh, in_specs=(spec, spec, spec, spec),
+            out_specs=spec, check_vma=False)
+        return jax.jit(fn)(values, idx, jnp.asarray(meta),
+                           jnp.asarray(bad))
 
     def local(v_s, idx_s):
         v_all = jax.lax.all_gather(v_s, axis_name, axis=0, tiled=True)
         return v_all[idx_s]
 
-    spec = P(axis_name)
     fn = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
                        out_specs=spec, check_vma=False)
     return jax.jit(fn)(values, idx)

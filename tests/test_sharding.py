@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 import wlsqm_tpu as wt
-from wlsqm_tpu.fitter import engine
+from wlsqm_tpu.fitter import defs, engine
 from wlsqm_tpu.parallel import sharding
 
 
@@ -321,3 +321,85 @@ def test_sharded_kernel_adjoint_matches_single_device(rng):
     g_1 = jax.jit(jax.grad(
         lambda f: local_loss(xk, f, nk, xi)))(fk)
     np.testing.assert_array_equal(np.asarray(g_sh), np.asarray(g_1))
+
+
+@pytest.mark.full
+@needs_devices
+@pytest.mark.parametrize("kprec,assembly", [
+    ("ds", "rows"), ("ds", "moments"), ("ts", "moments")])
+def test_planned_kernel_route_under_shard_map(rng, kprec, assembly):
+    """fit_many(plan=) with a kernel Route (ds and ts arithmetic, both
+    assemblies) composes with shard_map on the 8-device mesh and is
+    bit-identical to the same planned call on one device — the
+    multi-chip analogue of the reference's parallel ≡ serial contract
+    for the AUTO-ROUTED kernel path (reference:
+    tests/test_parallel.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from wlsqm_tpu import api
+    from wlsqm_tpu.fitter import ladder
+    from wlsqm_tpu.ops.pallas_fit import TILE
+
+    D = 8
+    B, K, order = TILE * D, 14, 2
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.4, 0.4, (B, K, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    nk = np.full(B, K, np.int32)
+    plan = api.FitPlan(route=ladder.Route(
+        path="kernel", refine_steps=2, kernel_precision=kprec,
+        assembly=assembly))
+
+    def run(xk_, fk_, nk_, xi_):
+        res = api.fit_many(xk_, fk_, xi_, nk=nk_, order=order,
+                           weighting=defs.WEIGHT_CENTER, plan=plan)
+        return res.fi
+
+    args = (jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(nk),
+            jnp.asarray(xi))
+    fi_1 = run(*args)
+
+    mesh = sharding.make_mesh()
+    spec = P(sharding.CASE_AXIS)
+    fn = jax.shard_map(run, mesh=mesh, in_specs=(spec,) * 4,
+                       out_specs=spec, check_vma=False)
+    fi_8 = jax.jit(fn)(*args)
+    np.testing.assert_array_equal(np.asarray(fi_1), np.asarray(fi_8))
+
+
+@pytest.mark.full
+@needs_devices
+def test_plan_fit_many_device_count_invariance(rng):
+    """The full plan_fit_many -> fit_many(plan=) pipeline gives
+    bit-identical DOFs on 1 vs 8 devices (planned on concrete data,
+    replayed under shard_map)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from wlsqm_tpu import api
+    from wlsqm_tpu.ops.pallas_fit import TILE
+
+    D = 8
+    B, K, order = TILE * D, 14, 2
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    nk = np.full(B, K, np.int32)
+    args = (jnp.asarray(xk), jnp.asarray(fk), jnp.asarray(nk),
+            jnp.asarray(xi))
+    plan = api.plan_fit_many(args[0], args[3], nk=args[2], order=order,
+                             weighting=defs.WEIGHT_CENTER)
+
+    def run(xk_, fk_, nk_, xi_):
+        return api.fit_many(xk_, fk_, xi_, nk=nk_, order=order,
+                            weighting=defs.WEIGHT_CENTER, plan=plan).fi
+
+    fi_1 = run(*args)
+    mesh = sharding.make_mesh()
+    spec = P(sharding.CASE_AXIS)
+    fi_8 = jax.jit(jax.shard_map(run, mesh=mesh, in_specs=(spec,) * 4,
+                                 out_specs=spec, check_vma=False))(*args)
+    np.testing.assert_array_equal(np.asarray(fi_1), np.asarray(fi_8))

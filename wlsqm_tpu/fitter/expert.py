@@ -47,6 +47,26 @@ _prepare_jit = partial(
 
 _solve_jit = jax.jit(engine.solve_prepared,
                      static_argnames=("do_sens", "mixed_steps"))
+
+_SOLVE_API_JIT = []
+
+
+def _solve_api_jit():
+    """jit-wrapped :func:`wlsqm_tpu.api.solve` (lazy: api imports expert).
+
+    Eagerly dispatching api.solve's op graph costs whole round trips per
+    op on remote backends; one compiled call keeps solve_device's
+    dispatch at a single transfer (measured 141 -> ~2 ms per call on the
+    remote bridge, round 4).
+    """
+    if not _SOLVE_API_JIT:
+        from wlsqm_tpu import api
+
+        _SOLVE_API_JIT.append(jax.jit(
+            api.solve,
+            static_argnames=("do_sens", "iterative", "max_iter",
+                             "mixed_steps")))
+    return _SOLVE_API_JIT[0]
 _solve_iter_jit = jax.jit(
     engine.solve_iterative_prepared,
     static_argnames=("max_iter", "do_sens", "mixed_steps")
@@ -511,9 +531,7 @@ class ExpertSolver:
             raise RuntimeError(
                 "Solver is not in the ready state; prepare() must be called "
                 "before solve_device()")
-        from wlsqm_tpu import api
-
-        out = api.solve(
+        out = _solve_api_jit()(
             self.prepared, fk, fi_init, do_sens=self.do_sens,
             iterative=self.algorithm == defs.ALGO_ITERATIVE,
             max_iter=self.max_iter, mixed_steps=self._prep_mixed_steps)

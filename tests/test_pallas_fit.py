@@ -16,6 +16,12 @@ from wlsqm_tpu.fitter import defs, engine
 from wlsqm_tpu.ops.pallas_fit import TILE, fit_pallas, supported
 
 
+# quick-tier problem size: two (1, 128) case tiles instead of the full
+# hardware TILE — interpret-mode wall time scales with B, and tile_s /
+# batch-size invariance is pinned separately (test_tile_s_bit_identity)
+QB, QTS = 256, 2
+
+
 def _problem(rng, B, K=20, clustered=False):
     if clustered:
         centers = rng.uniform(-1, 1, (B, 2))
@@ -33,11 +39,12 @@ def _problem(rng, B, K=20, clustered=False):
     pytest.param(4, defs.WEIGHT_CENTER, marks=pytest.mark.full),
 ])
 def test_matches_engine(rng, order, weighting):
-    xk, fk, nk, xi = _problem(rng, TILE)
+    xk, fk, nk, xi = _problem(rng, QB, K=16)
     fi_p = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=order,
-                                 weighting=weighting, interpret=True))
+                                 weighting=weighting, interpret=True,
+                                 tile_s=QTS, refine_steps=2))
     NO = wt.number_of_dofs(2, order)
-    B = TILE
+    B = QB
     f64, _, _, _ = engine.fit_batch(
         xk, fk, nk, xi, jnp.zeros((B, NO)),
         jnp.full((B,), order, jnp.int32), jnp.zeros((B,), jnp.int64),
@@ -46,11 +53,13 @@ def test_matches_engine(rng, order, weighting):
     assert rel < 5e-5, f"rel={rel:.2e}"  # f32-grade bound in interpret mode
 
 
+@pytest.mark.full
 def test_clustered_neighborhoods(rng):
     """Small-radius clouds exercise the power-of-two prescale."""
-    xk, fk, nk, xi = _problem(rng, TILE, clustered=True)
+    xk, fk, nk, xi = _problem(rng, QB, K=12, clustered=True)
     fi_p = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
-                                 weighting=defs.WEIGHT_CENTER, interpret=True))
+                                 weighting=defs.WEIGHT_CENTER, interpret=True,
+                                 tile_s=QTS, refine_steps=2))
     assert np.isfinite(fi_p).all()
     # F DOF approximates the field at the center
     truth = np.sin(np.asarray(xi)[:, 0]) * np.cos(np.asarray(xi)[:, 1])
@@ -58,17 +67,18 @@ def test_clustered_neighborhoods(rng):
 
 
 def test_ragged_nk(rng):
-    xk, fk, nk, xi = _problem(rng, TILE, K=24)
+    xk, fk, nk, xi = _problem(rng, QB, K=24)
     nk = jnp.asarray(
-        np.where(np.arange(TILE) % 2 == 0, 24, 17).astype(np.int32))
+        np.where(np.arange(QB) % 2 == 0, 24, 17).astype(np.int32))
     fi_p = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
                                  weighting=defs.WEIGHT_UNIFORM,
-                                 interpret=True))
+                                 interpret=True, tile_s=QTS,
+                                 refine_steps=2))
     NO = 6
     f64, _, _, _ = engine.fit_batch(
-        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
-        jnp.full((TILE,), 2, jnp.int32), jnp.zeros((TILE,), jnp.int64),
-        jnp.full((TILE,), defs.WEIGHT_UNIFORM, jnp.int32),
+        xk, fk, nk, xi, jnp.zeros((QB, NO)),
+        jnp.full((QB,), 2, jnp.int32), jnp.zeros((QB,), jnp.int64),
+        jnp.full((QB,), defs.WEIGHT_UNIFORM, jnp.int32),
         dimension=2, NO=NO)
     rel = np.abs(fi_p - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
     assert rel < 5e-6
@@ -82,6 +92,7 @@ def test_supported_predicate():
     assert not supported(2, np.full(4, 2), np.zeros(4), np.array([1, 2, 1, 1]))
 
 
+@pytest.mark.full
 def test_recompute_basis_variant(rng, monkeypatch):
     """The no-store variant (basis recomputed per matvec) matches the stored
     one; it is what makes 3D order-4 (NO=35) fit in VMEM."""
@@ -96,15 +107,16 @@ def test_recompute_basis_variant(rng, monkeypatch):
 
     # K=13 is a shape no other test uses, so the jitted fit_pallas retraces
     # and picks up the monkeypatched store decision
-    xk, fk, nk, xi = _problem(rng, TILE, K=13)
+    xk, fk, nk, xi = _problem(rng, QB, K=13)
     monkeypatch.setattr(pallas_fit, "_store_basis", lambda *a: False)
     got = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=2,
-                                weighting=defs.WEIGHT_CENTER, interpret=True))
+                                weighting=defs.WEIGHT_CENTER, interpret=True,
+                                tile_s=QTS, refine_steps=2))
     NO = 6
     f64, _, _, _ = engine.fit_batch(
-        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
-        jnp.full((TILE,), 2, jnp.int32), jnp.zeros((TILE,), jnp.int64),
-        jnp.full((TILE,), defs.WEIGHT_CENTER, jnp.int32),
+        xk, fk, nk, xi, jnp.zeros((QB, NO)),
+        jnp.full((QB,), 2, jnp.int32), jnp.zeros((QB,), jnp.int64),
+        jnp.full((QB,), defs.WEIGHT_CENTER, jnp.int32),
         dimension=2, NO=NO)
     rel = np.abs(got - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
     assert rel < 5e-6
@@ -266,15 +278,16 @@ def test_ts_variant_matches_engine(rng, order, weighting):
     beyond-ds accuracy claim is validated on TPU
     (benchmarks/run_ladder_sweep.py, docs/kernel.md).
     """
-    xk, fk, nk, xi = _problem(rng, TILE, K=21)
+    xk, fk, nk, xi = _problem(rng, QB, K=21)
     fi_t = np.asarray(fit_pallas(xk, fk, nk, xi, dimension=2, order=order,
                                  weighting=weighting, interpret=True,
-                                 precision="ts"))
+                                 precision="ts", tile_s=QTS,
+                                 refine_steps=3))
     NO = wt.number_of_dofs(2, order)
     f64, _, _, _ = engine.fit_batch(
-        xk, fk, nk, xi, jnp.zeros((TILE, NO)),
-        jnp.full((TILE,), order, jnp.int32), jnp.zeros((TILE,), jnp.int64),
-        jnp.full((TILE,), weighting, jnp.int32), dimension=2, NO=NO)
+        xk, fk, nk, xi, jnp.zeros((QB, NO)),
+        jnp.full((QB,), order, jnp.int32), jnp.zeros((QB,), jnp.int64),
+        jnp.full((QB,), weighting, jnp.int32), dimension=2, NO=NO)
     rel = np.abs(fi_t - np.asarray(f64)).max() / np.abs(np.asarray(f64)).max()
     assert rel < 5e-5, f"rel={rel:.2e}"
 
@@ -365,7 +378,7 @@ def test_moment_assembly_matches_engine(rng, dimension, order, weighting):
     converged fixed point is the stored pair matrix), so the bound here
     is tighter than the rows tests'."""
     NO = wt.number_of_dofs(dimension, order)
-    B, K = TILE, max(24, NO + 9)
+    B, K = QB, max(24, NO + 9)
     xi = rng.uniform(-1, 1, (B, dimension))
     xk = xi[:, None, :] + rng.uniform(-0.4, 0.4, (B, K, dimension))
     fk = np.sin(xk[..., 0]) * np.cos(xk[..., -1])
@@ -373,7 +386,7 @@ def test_moment_assembly_matches_engine(rng, dimension, order, weighting):
     args = (jnp.asarray(xk), jnp.asarray(fk),
             jnp.asarray(nkv, jnp.int32), jnp.asarray(xi))
     com = dict(dimension=dimension, order=order, weighting=weighting,
-               interpret=True)
+               interpret=True, tile_s=QTS, refine_steps=2)
     fi_m = np.asarray(fit_pallas(*args, assembly="moments", **com))
     f64 = _engine_oracle(*args, dimension=dimension, order=order,
                          weighting=weighting)
@@ -385,7 +398,7 @@ def test_moment_assembly_knowns(rng):
     """Knowns elimination through the moments (b_m -= g_j M[e_j+e_m]) is
     algebraically the per-neighbor elimination: prescribed DOFs pass
     through bit-exactly, unknowns match the engine."""
-    B, K = TILE, 16
+    B, K = QB, 16
     knowns = int(defs.b2_F | defs.b2_Y)
     xi = rng.uniform(-1, 1, (B, 2))
     xk = xi[:, None, :] + rng.uniform(-0.4, 0.4, (B, K, 2))
@@ -398,7 +411,7 @@ def test_moment_assembly_knowns(rng):
             jnp.full((B,), K, jnp.int32), jnp.asarray(xi),
             jnp.asarray(gi))
     com = dict(dimension=2, order=2, weighting=defs.WEIGHT_CENTER,
-               knowns=knowns, interpret=True)
+               knowns=knowns, interpret=True, tile_s=QTS, refine_steps=2)
     fi_m = np.asarray(fit_pallas(*args, assembly="moments", **com))
     # prescribed values bit-exact
     np.testing.assert_array_equal(fi_m[:, defs.i2_F], gi[:, defs.i2_F])
@@ -431,14 +444,14 @@ def test_moment_auto_routing():
 @pytest.mark.full
 def test_moment_ts_variant(rng):
     """The ts (triple-single) arithmetic runs the moment body too."""
-    B, K = TILE, 24
+    B, K = QB, 24
     xi = rng.uniform(-1, 1, (B, 2))
     xk = xi[:, None, :] + rng.uniform(-0.3, 0.3, (B, K, 2))
     fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
     args = (jnp.asarray(xk), jnp.asarray(fk),
             jnp.full((B,), K, jnp.int32), jnp.asarray(xi))
     com = dict(dimension=2, order=4, weighting=defs.WEIGHT_CENTER,
-               interpret=True, precision="ts")
+               interpret=True, precision="ts", tile_s=QTS)
     fi_m = np.asarray(fit_pallas(*args, assembly="moments", **com))
     f64 = _engine_oracle(*args, dimension=2, order=4,
                          weighting=defs.WEIGHT_CENTER)

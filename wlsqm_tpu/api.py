@@ -504,8 +504,8 @@ def _auto_dispatch(xk, fk, nk, xi, fi_init, *, dim, B, K, NO, order_a,
             ts_kernel_ok=pallas_fit.supported(dim, o, kn, wm, K=K,
                                               do_sens=do_sens,
                                               precision="ts"),
-            moments_ok=basic and pallas_fit.moment_vmem_ok(dim, o, K),
-            ts_moments_ok=basic and pallas_fit.moment_vmem_ok(
+            moments_ok=basic and pallas_fit.moment_auto_ok(dim, o, K),
+            ts_moments_ok=basic and pallas_fit.moment_auto_ok(
                 dim, o, K, nplanes=3))
         if route.path != "kernel":
             continue  # engine rungs handle it in the merged leftover call
@@ -638,9 +638,9 @@ def plan_fit_many(
         ts_kernel_ok=kernel_ok and pallas_fit.supported(
             dim, o, kn, wm, K=K, do_sens=do_sens, precision="ts"),
         moments_ok=(kernel_ok and basic
-                    and pallas_fit.moment_vmem_ok(dim, o, K)),
+                    and pallas_fit.moment_auto_ok(dim, o, K)),
         ts_moments_ok=(kernel_ok and basic
-                       and pallas_fit.moment_vmem_ok(dim, o, K,
+                       and pallas_fit.moment_auto_ok(dim, o, K,
                                                      nplanes=3)))
     if refine_steps is not None and route.path == "kernel":
         route = dataclasses.replace(route, refine_steps=refine_steps)

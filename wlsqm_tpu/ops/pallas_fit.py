@@ -304,11 +304,30 @@ def _moment_vmem_bytes(dimension: int, order: int, K: int,
     return scratch + inputs + outputs
 
 
+#: largest moment-lattice size assembly="auto" will pick the moment body
+#: for (covers 1D, all 2D orders, 3D order <= 2 — the configurations
+#: whose Mosaic compile times are measured seconds); see the
+#: compile-time note at the use_moments decision in fit_pallas
+MOMENT_AUTO_NM = 45
+
+
 def moment_vmem_ok(dimension: int, order: int, K: int,
                    nplanes: int = 2, tile_s: int = TILE_S) -> bool:
-    """Whether the moment-assembly variant's VMEM state fits (~12 MB)."""
+    """Whether the moment-assembly variant's VMEM state fits (~12 MB).
+
+    Routing callers (the ladder, ExpertSolver) should also respect
+    :data:`MOMENT_AUTO_NM`; :func:`moment_auto_ok` combines both.
+    """
     return _moment_vmem_bytes(dimension, order, K, nplanes,
                               tile_s) < 12 * 1024 * 1024
+
+
+def moment_auto_ok(dimension: int, order: int, K: int,
+                   nplanes: int = 2, tile_s: int = TILE_S) -> bool:
+    """Whether auto routing may pick the moment body for this config."""
+    return (moment_vmem_ok(dimension, order, K, nplanes, tile_s)
+            and len(_moment_lattice(dimension, 2 * order)[0])
+            <= MOMENT_AUTO_NM)
 
 
 def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
@@ -1016,9 +1035,15 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     nblk = B // tile
     if assembly not in ("auto", "moments", "rows"):
         raise ValueError(f"assembly must be auto|moments|rows, got {assembly}")
+    # auto: moment assembly for basic fits when its VMEM fits AND the
+    # moment lattice stays small — the fully unrolled NM-moment chain
+    # makes Mosaic compile time superlinear in NM (3D order-4, NM=165:
+    # >9 min vs the rows body's ~23 s), so big-lattice configs keep the
+    # rows body unless the caller opts in explicitly
     use_moments = assembly == "moments" or (
         assembly == "auto" and not do_sens and max_iter == 0
-        and moment_vmem_ok(dimension, order, K, NPL, ts_))
+        and moment_vmem_ok(dimension, order, K, NPL, ts_)
+        and len(_moment_lattice(dimension, 2 * order)[0]) <= MOMENT_AUTO_NM)
     if use_moments and (do_sens or max_iter):
         raise ValueError("assembly='moments' covers the basic algorithm "
                          "only (no sensitivities / ALGO_ITERATIVE)")

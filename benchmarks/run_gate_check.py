@@ -62,30 +62,41 @@ def main():
         ref = strong_oracle(xk, xi, fk, weighting, dimension=dim)
         nk = jnp.full((B,), K, jnp.int32)
         com = dict(dimension=dim, order=4, weighting=weighting)
-        fi_ds = np.asarray(fit_pallas(
-            jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi), **com))
-        fi_ts = np.asarray(fit_pallas(
-            jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
-            precision="ts", **com))
+        # every routed (assembly, arithmetic) variant, each gated by its
+        # OWN calibrated units (fitter/calibration.py, round 4); the big
+        # 3D lattice keeps the rows body (MOMENT_AUTO_NM)
+        variants = [("rows", "ds"), ("rows", "ts")]
+        if not dim3:
+            variants += [("moments", "ds"), ("moments", "ts")]
+        errs = {}
+        for asm, prec in variants:
+            fi = np.asarray(fit_pallas(
+                jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
+                assembly=asm, precision=prec, **com))
+            errs[(asm, prec)] = fi
         ca = condprobe.probe(xk, nk, xi, 4, weighting, dimension=dim,
                              sample=B)
         cai = ca[0] * ca[1]
         scale = np.abs(ref).max(-1)
-        e_ds = np.abs(fi_ds - ref).max(-1) / scale
-        e_ts = np.abs(fi_ts - ref).max(-1) / scale
-        rows.append((cai, e_ds, e_ts))
+        rows.append((cai, {k: np.abs(v - ref).max(-1) / scale
+                           for k, v in errs.items()}))
     cai = np.concatenate([r[0] for r in rows])
-    e_ds = np.concatenate([r[1] for r in rows])
-    e_ts = np.concatenate([r[2] for r in rows])
-    for name, unit, err in (("ds", condprobe.DS_UNIT, e_ds),
-                            ("ts", condprobe.TS_PARITY_UNIT, e_ts)):
+    variants = list(rows[0][1])
+    errall = {k: np.concatenate([r[1][k] for r in rows]) for k in variants}
+    units = condprobe._units()
+    for asm, prec in variants:
+        du, dcert, tsu = units.units_for(asm)
+        unit = dcert if prec == "ds" else tsu
+        err = errall[(asm, prec)]
         cert = unit * cai * condprobe.SAFETY <= TOL
         viol = cert & (err > TOL)
         worst = err[cert].max() if cert.any() else 0.0
-        print(f"{name}: certified {cert.sum()}/{len(cai)}  "
+        print(f"{asm}/{prec}: certified {cert.sum()}/{len(cai)}  "
               f"worst certified err {worst:.3g}  violations {viol.sum()}"
               + (f"  worst ratio {(err[viol]/TOL).max():.2f}x"
                  if viol.any() else ""), flush=True)
+    e_ds = errall[("rows", "ds")]
+    e_ts = errall[("rows", "ts")]
     fine(cai, e_ds, e_ts)
     # headroom curves: worst err among cases with ca <= threshold
     print("\nca_max_allowed -> worst ds err | worst ts err (empirical)",

@@ -371,3 +371,26 @@ def test_screen_device_arrays_no_full_copy(rng):
         jnp.asarray(xk), None, jnp.asarray(xi), 4, 2)
     np.testing.assert_allclose(amp_d, amp_h, rtol=1e-12)
     np.testing.assert_allclose(aniso_d, aniso_h, rtol=1e-9)
+
+
+def test_iter_count_fidelity_pins_engine(rng, monkeypatch):
+    """config.set_iter_count_fidelity(True): iterative compat/auto calls
+    keep the reference's exact f64 stagnation-count semantics by staying
+    on the engine — the kernel's extended-precision norms produce a
+    different count distribution (benchmarks/run_iter_parity.py;
+    reference rule: wlsqm/fitter/impl.pyx:1057-1061)."""
+    from wlsqm_tpu import config
+
+    spy = _spy(monkeypatch)
+    B = pallas_fit.TILE
+    xk = rng.uniform(-1, 1, (B, 30, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    monkeypatch.setattr(config, "_ITER_COUNT_FIDELITY", True)
+    res = api.fit_many(jnp.asarray(xk), jnp.asarray(fk), order=2,
+                       iterative=True, max_iter=3)
+    assert spy.calls == 0
+    assert np.isfinite(np.asarray(res.fi)).all()
+    assert int(np.asarray(res.iterations).max()) >= 1
+    # planning honors it too
+    plan = api.plan_fit_many(jnp.asarray(xk), order=2, iterative=True)
+    assert plan.route.path == "xla"

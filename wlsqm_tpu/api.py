@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wlsqm_tpu import config
 from wlsqm_tpu.fitter import defs, engine, ladder
 from wlsqm_tpu.fitter.interp import eval_fit
 from wlsqm_tpu.ops import solve as solve_ops
@@ -492,6 +493,11 @@ def _auto_dispatch(xk, fk, nk, xi, fi_init, *, dim, B, K, NO, order_a,
                 or not pallas_fit.supported(dim, o, kn, wm, K=K,
                                             do_sens=do_sens)):
             continue
+        if iterative and config.iter_count_fidelity():
+            # the caller wants the reference's exact f64 stagnation-count
+            # semantics (config.set_iter_count_fidelity): iterative
+            # batches stay on the engine
+            continue
         sel_j = jnp.asarray(sel)
         xk_g = xk if whole else xk[sel_j]
         nk_g = nk if whole else nk[sel_j]
@@ -627,7 +633,8 @@ def plan_fit_many(
         return FitPlan(route=ladder.Route(path="xla", precision=precision))
     kernel_ok = (K >= (3 * NO) // 2
                  and pallas_fit.supported(dim, o, kn, wm, K=K,
-                                          do_sens=do_sens))
+                                          do_sens=do_sens)
+                 and not (iterative and config.iter_count_fidelity()))
     from wlsqm_tpu.fitter import engine_ds
 
     cond_amp = condprobe.probe(xk, nk, xi, o, wm, dimension=dim, knowns=kn)

@@ -108,3 +108,32 @@ def set_compat_precision(mode: str) -> None:
 def compat_precision() -> str:
     """The compat layer's auto-routing precision ("ds" or "f64")."""
     return _COMPAT_PRECISION
+
+
+# ---------------------------------------------------------------------------
+# ALGO_ITERATIVE iteration-count fidelity.  The reference's exact-
+# stagnation rule compares consecutive f64 l-inf residual norms for
+# bitwise equality (reference: wlsqm/fitter/impl.pyx:1057-1061); the
+# kernel evaluates the same rule in extended (ds-pair) arithmetic on
+# DOFs that differ from the engine's at ~1e-12, so the iteration at
+# which two norms collide bitwise is chaotic — DOFs agree to the
+# documented envelope, but the returned COUNTS follow a different
+# distribution (measured table: benchmarks/run_iter_parity.py; order-2
+# medians match, order-4 kernel counts saturate later).  Callers who
+# BRANCH on the returned count can pin iterative calls to the engine.
+# ---------------------------------------------------------------------------
+
+_ITER_COUNT_FIDELITY = bool(os.environ.get("WLSQM_TPU_ITER_COUNT_FIDELITY"))
+
+
+def set_iter_count_fidelity(enabled: bool) -> None:
+    """Route compat/auto ALGO_ITERATIVE calls to the f64 engine so the
+    returned iteration counts carry the reference's exact f64
+    stagnation semantics (at engine speed)."""
+    global _ITER_COUNT_FIDELITY
+    _ITER_COUNT_FIDELITY = bool(enabled)
+
+
+def iter_count_fidelity() -> bool:
+    """Whether iterative compat/auto calls must keep f64 count semantics."""
+    return _ITER_COUNT_FIDELITY

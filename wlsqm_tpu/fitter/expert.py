@@ -560,6 +560,10 @@ class ExpertSolver:
             return False
         if config.compat_precision() == "f64":
             return False
+        if (self.algorithm == defs.ALGO_ITERATIVE
+                and config.iter_count_fidelity()):
+            # exact f64 stagnation-count semantics requested
+            return False
         if jax.default_backend() == "cpu" or self.xk is None:
             return False
         from wlsqm_tpu.ops import pallas_fit

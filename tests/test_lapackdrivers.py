@@ -263,15 +263,14 @@ def test_msymmetricfactor_factored_pair(rng):
             b[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
 
 
-def test_msymmetricfactor_format_mismatch_raises(rng):
-    """Batched-LU and dsytrf pivot formats must not silently interchange.
+def test_msymmetricfactor_dsytrf_interchange(rng):
+    """Batched and single-matrix symmetric factor pairs interchange.
 
-    In the reference both carry dsytrf format, so mixing is legal there
-    (reference: wlsqm/utils/lapackdrivers.pyx:1196-1305); here the batched
-    pair is LU-format and tagged, and cross-family use raises.
+    The reference's msymmetricfactor produces dsytrf-format factors whose
+    slices back-substitute through the single-matrix dsytrs pair and vice
+    versa (reference: wlsqm/utils/lapackdrivers.pyx:1196-1354); pin the
+    same contract here.
     """
-    import pytest
-
     from wlsqm_tpu.utils.lapackdrivers import (
         msymmetricfactor, msymmetricfactored,
         symmetricfactor, symmetricfactored,
@@ -282,19 +281,27 @@ def test_msymmetricfactor_format_mismatch_raises(rng):
     A = np.asfortranarray(A0.copy())
     ipiv = np.zeros((n, nb), np.int32, order="F")
     msymmetricfactor(A, ipiv)
-    # slicing the batched factorization into the single-matrix family
-    b = np.ascontiguousarray(np.random.default_rng(3).standard_normal(n))
-    with pytest.raises(ValueError, match="batched-LU"):
-        symmetricfactored(np.asfortranarray(A[:, :, 0]),
-                          np.ascontiguousarray(ipiv[:, 0]), b)
-    # dsytrf pivots into the batched back-substitution
-    A1 = np.asfortranarray(A0[:, :, 0].copy())
-    ipiv1 = symmetricfactor(A1)
-    bb = np.asfortranarray(
-        np.random.default_rng(4).standard_normal((n, nb)))
-    with pytest.raises(ValueError, match="not interchangeable"):
-        msymmetricfactored(A, np.asfortranarray(
-            np.repeat(ipiv1[:, None], nb, axis=1)), bb)
+    # a slice of the batched factorization through the single-matrix family
+    for i in (0, nb - 1):
+        b0 = np.random.default_rng(3 + i).standard_normal(n)
+        b = np.ascontiguousarray(b0.copy())
+        symmetricfactored(np.asfortranarray(A[:, :, i]),
+                          np.ascontiguousarray(ipiv[:, i]), b)
+        np.testing.assert_allclose(
+            b, np.linalg.solve(A0[:, :, i], b0), atol=1e-10)
+    # single-matrix dsytrf factors assembled into the batched family
+    Ab = np.asfortranarray(np.zeros_like(A0))
+    ipivb = np.zeros((n, nb), np.int32, order="F")
+    for i in range(nb):
+        Ai = np.asfortranarray(A0[:, :, i].copy())
+        ipivb[:, i] = symmetricfactor(Ai)
+        Ab[:, :, i] = Ai
+    b0 = np.random.default_rng(4).standard_normal((n, nb))
+    bb = np.asfortranarray(b0.copy())
+    msymmetricfactored(Ab, ipivb, bb)
+    for i in range(nb):
+        np.testing.assert_allclose(
+            bb[:, i], np.linalg.solve(A0[:, :, i], b0[:, i]), atol=1e-10)
 
 
 def test_mgeneralfactor_factored_pair(rng):

@@ -30,10 +30,14 @@ fitting engine's TPU-native batched linear algebra lives in
 Factored-pair representation: ``mgeneralfactor``/``mgeneralfactored`` use
 batched LU with pivots byte-compatible with LAPACK ``dgetrf``/``dgetrs`` —
 the pair interoperates with the single-matrix ``generalfactor(ed)``.  The
-batched *symmetric* factor family also uses LU (there is no batched
-Bunch–Kaufman): treat its (A, ipiv) strictly as an opaque pair consumed by
-``msymmetricfactored(p)`` — it is NOT interchangeable with the single-matrix
-``symmetricfactored`` (dsytrf/dsytrs format), unlike in the reference.
+batched *symmetric* factor family runs LAPACK ``dsytrf``/``dsytrs`` per
+slice (the reference's own per-matrix OpenMP shape, reference:
+wlsqm/utils/lapackdrivers.pyx:1196-1354), so its (A, ipiv) pairs carry
+genuine Bunch–Kaufman format and interchange freely with the
+single-matrix ``symmetricfactor(ed)`` — same contract as the reference.
+The matrices here are tiny (n ≤ 35), so the per-slice LAPACK calls are
+microseconds each; the vectorized batched-LU fast path is reserved for
+the general family, whose dgetrf format it reproduces exactly.
 
 The scaling algorithms are vectorized NumPy ports of the reference's
 published iterations (Ruiz 2001; Chiang–Chandler SCALGM 2008).
@@ -367,15 +371,14 @@ def symmetricfactor(A):
 
 
 def symmetricfactored(A, ipiv, b):
-    """Back-substitute with a dsytrf-factored A (dsytrs); b overwritten."""
+    """Back-substitute with a dsytrf-factored A (dsytrs); b overwritten.
+
+    ``(A, ipiv)`` may come from :func:`symmetricfactor` or be one slice of
+    a :func:`msymmetricfactor` stack — both carry dsytrf format, exactly
+    like the reference (wlsqm/utils/lapackdrivers.pyx:1196-1354).
+    """
     A = np.asarray(A)
     b = np.asarray(b)
-    if np.any(np.asarray(ipiv) >= _MSYM_LU_TAG):
-        raise ValueError(
-            "ipiv carries msymmetricfactor()'s batched-LU format tag; "
-            "slices of a batched symmetric factorization must be "
-            "back-substituted with msymmetricfactored(), not the "
-            "single-matrix dsytrf/dsytrs pair")
     x, info = _lapack.dsytrs(A, np.asarray(ipiv), b.reshape(-1, 1), lower=0)
     if info != 0:
         raise np.linalg.LinAlgError("dsytrs failed with info=%d" % info)
@@ -477,54 +480,52 @@ def msymmetricp(A, b, ntasks):
     msymmetric(A, b)
 
 
-#: pivot-format tag for the batched symmetric factorization.  The pair
-#: produced by :func:`msymmetricfactor` is batched-LU format, NOT the
-#: reference's dsytrf format; its pivots are stored offset by this tag so
-#: that handing a slice of it to the single-matrix ``symmetricfactored``
-#: (legal with the reference's uniform dsytrf format) raises instead of
-#: silently back-substituting garbage.
-_MSYM_LU_TAG = np.int32(1 << 20)
-
-
 def msymmetricfactor(A, ipiv):
-    """Batched factor of a symmetric stack; fills A and ipiv (n, nbatch).
+    """Batched Bunch–Kaufman factor of a symmetric stack; fills A and ipiv.
 
-    One NumPy-vectorized batched LU over the symmetrized stack (there is
-    no batched Bunch–Kaufman).  The resulting (A, ipiv) pair is OPAQUE:
-    pass it to ``msymmetricfactored(p)`` only — unlike the reference it is
-    not interchangeable with the single-matrix dsytrf/dsytrs pair (it is
-    dgetrf/dgetrs-format instead, and its pivots carry a format tag so the
-    mismatch raises rather than corrupting results).  Reference:
-    wlsqm/utils/lapackdrivers.pyx:1196-1305.
+    A (n, n, nbatch), ipiv (n, nbatch), both in place.  Each slice is
+    factored by LAPACK ``dsytrf`` (upper storage), so the stack carries
+    genuine dsytrf format: any single slice ``(A[:, :, i], ipiv[:, i])``
+    back-substitutes through the scalar :func:`symmetricfactored` too —
+    the same interchange contract as the reference
+    (wlsqm/utils/lapackdrivers.pyx:1196-1305).  n is tiny here (≤ 35), so
+    the per-slice LAPACK calls are microseconds each, mirroring the
+    reference's per-matrix OpenMP loop.
     """
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
-    lu, piv = _batched_lu_factor(_sym_from_upper_stack(A_np))
-    A_np[:] = np.moveaxis(lu, 0, 2)
-    ipiv_np[:] = (np.asarray(piv, dtype=ipiv_np.dtype)
-                  + ipiv_np.dtype.type(_MSYM_LU_TAG)).T
+    nb = A_np.shape[2]
+    for i in range(nb):
+        Ai = np.asfortranarray(A_np[:, :, i])
+        ldlt, piv, info = _lapack.dsytrf(Ai, lower=0, overwrite_a=1)
+        if info != 0:
+            raise np.linalg.LinAlgError(
+                "dsytrf failed with info=%d on batch slice %d" % (info, i))
+        A_np[:, :, i] = ldlt
+        ipiv_np[:, i] = piv
 
 
 def msymmetricfactored(A, ipiv, b):
     """Batched back-substitution with an msymmetricfactor()-factored stack.
 
-    b (n, nbatch) overwritten; one vectorized batched triangular solve.
-    Raises if ``ipiv`` is not in :func:`msymmetricfactor`'s tagged format
-    (e.g. a dsytrf-format pivot array from the single-matrix family).
+    b (n, nbatch) overwritten; per-slice LAPACK ``dsytrs``.  The stack is
+    dsytrf-format, so dsytrf pivots from the single-matrix
+    :func:`symmetricfactor` are equally valid input (reference contract,
+    wlsqm/utils/lapackdrivers.pyx:1310-1354).
     """
     A_np = np.asarray(A)
     ipiv_np = np.asarray(ipiv)
     b_np = np.asarray(b)
-    if not np.all(ipiv_np >= _MSYM_LU_TAG):
-        raise ValueError(
-            "ipiv is not in msymmetricfactor()'s tagged batched-LU format "
-            "(e.g. dsytrf-format pivots from symmetricfactor); the batched "
-            "and single-matrix symmetric factorizations are not "
-            "interchangeable")
-    lu = np.moveaxis(A_np, 2, 0)
-    piv = np.ascontiguousarray(ipiv_np.T) - _MSYM_LU_TAG
-    x = _batched_lu_solve(lu, piv, np.ascontiguousarray(b_np.T)[..., None])
-    b_np[:] = x[..., 0].T
+    nb = A_np.shape[2]
+    for i in range(nb):
+        x, info = _lapack.dsytrs(
+            np.asfortranarray(A_np[:, :, i]),
+            np.ascontiguousarray(ipiv_np[:, i]),
+            b_np[:, i].reshape(-1, 1), lower=0)
+        if info != 0:
+            raise np.linalg.LinAlgError(
+                "dsytrs failed with info=%d on batch slice %d" % (info, i))
+        b_np[:, i] = x.ravel()
 
 
 def msymmetricfactorp(A, ipiv, ntasks):

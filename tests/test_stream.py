@@ -91,3 +91,54 @@ def test_stream_out_shape_validated(rng):
     xk, fk, xi = _problem(rng, 8)
     with pytest.raises(ValueError, match="out must have shape"):
         api.fit_stream(xk, fk, xi, chunk=4, order=2, out=np.zeros((8, 3)))
+
+
+def _mesh_or_skip():
+    import jax
+    from wlsqm_tpu.parallel import sharding
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    return sharding.make_mesh()
+
+
+def test_stream_sharded_equals_fit_many(rng):
+    """fit_stream(mesh=...) — chunked streaming with each chunk sharded
+    over the 8-device mesh — is bit-identical to a single unsharded
+    fit_many of the whole cloud under the same plan (the streaming
+    analogue of the sharded ≡ single-device equivalence contract)."""
+    B = 150   # 4 chunks at step 48 (48 = ceil(40/8)*8), padded tail
+    xk, fk, xi = _problem(rng, B, K=14)
+    mesh = _mesh_or_skip()
+    plan = api.plan_fit_many(xk, xi, order=2)
+    res_s = api.fit_stream(xk, fk, xi, chunk=40, order=2, mesh=mesh,
+                           plan=plan)
+    res_m = api.fit_many(xk, fk, xi, order=2, plan=plan)
+    np.testing.assert_array_equal(res_s.fi, np.asarray(res_m.fi))
+    assert isinstance(res_s.fi, np.ndarray)
+
+
+def test_stream_sharded_heterogeneous_nk_and_counts(rng):
+    """Ragged neighbor counts and iteration counts survive the sharded
+    stream (the counts are gathered per chunk from every shard)."""
+    B, K = 96, 16
+    xk, fk, xi = _problem(rng, B, K=K)
+    nk = rng.integers(10, K + 1, B).astype(np.int32)
+    mesh = _mesh_or_skip()
+    plan = api.plan_fit_many(xk, xi, nk=nk, order=2, iterative=True)
+    res_s = api.fit_stream(xk, fk, xi, nk=nk, chunk=32, order=2,
+                           iterative=True, max_iter=3, mesh=mesh, plan=plan)
+    res_m = api.fit_many(xk, fk, xi, nk=nk, order=2, iterative=True,
+                         max_iter=3, plan=plan)
+    np.testing.assert_array_equal(res_s.fi, np.asarray(res_m.fi))
+    np.testing.assert_array_equal(res_s.iterations,
+                                  np.asarray(res_m.iterations))
+    assert res_s.iterations.max() >= 1
+
+
+def test_stream_sharded_rejects_per_case_arrays(rng):
+    xk, fk, xi = _problem(rng, 16)
+    mesh = _mesh_or_skip()
+    order = np.full(16, 2, np.int32)
+    with pytest.raises(ValueError, match="mesh"):
+        api.fit_stream(xk, fk, xi, chunk=8, order=order, max_order=2,
+                       mesh=mesh)

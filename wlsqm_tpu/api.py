@@ -655,7 +655,7 @@ def plan_fit_many(
 
 
 def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
-               out=None, **kwargs) -> FitResult:
+               out=None, mesh=None, **kwargs) -> FitResult:
     """Fit a cloud larger than device memory, streaming fixed-size chunks.
 
     Host arrays (NumPy, including ``np.memmap``) are uploaded one
@@ -672,6 +672,14 @@ def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
     xk (B, K, dim) | fk (B, K) | xi (B, dim) | nk (B,) — host array-likes.
     chunk: cases per device batch (default 65536).
     out: optional preallocated (B, NO) f64 array for the DOFs.
+    mesh: optional :class:`jax.sharding.Mesh` (1-D).  Each chunk is then
+        uploaded sharded along its case axis and fitted with one jitted
+        ``shard_map`` over the mesh — chunked streaming *and* data
+        parallelism across chips at once, with the same zero-collective
+        body as :func:`wlsqm_tpu.parallel.sharded_fit_many`.  The chunk
+        size is rounded up so every shard gets an equal (kernel-tileable)
+        slice.  Requires scalar ``order``/``knowns``/``weighting`` and no
+        ``fi_init`` array (per-case configs stream unsharded).
     kwargs: forwarded to :func:`fit_many` (order, weighting, backend, ...);
     per-case parameter arrays are sliced along with the geometry.
     ``do_sens``/``debug`` are not supported here (their outputs would not
@@ -711,15 +719,26 @@ def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
     # routes between chunks of one cloud
     if (kwargs.get("backend", "auto") == "auto"
             and "plan" not in kwargs and not per_case
-            and B >= chunk):
+            and (B >= chunk or mesh is not None)):
+        probe_n = min(B, chunk)
         kwargs["plan"] = plan_fit_many(
-            xk[:chunk], None if xi_np is None else xi_np[:chunk],
-            nk=None if nk_np is None else nk_np[:chunk],
+            xk[:probe_n], None if xi_np is None else xi_np[:probe_n],
+            nk=None if nk_np is None else nk_np[:probe_n],
             order=order, knowns=kwargs.get("knowns", 0),
             weighting=kwargs.get("weighting", defs.WEIGHT_UNIFORM),
             do_sens=False, iterative=bool(kwargs.get("iterative", False)),
             precision=kwargs.get("precision"),
             refine_steps=kwargs.get("refine_steps"))
+
+    if mesh is not None:
+        if per_case:
+            raise ValueError(
+                "fit_stream(mesh=...) requires scalar order/knowns/"
+                "weighting and no fi_init array; stream per-case "
+                "configurations without a mesh")
+        return _fit_stream_sharded(
+            mesh, xk, fk, xi_np, nk_np, chunk=chunk,
+            fi_out=fi_out, iters_out=iters_out, kwargs=kwargs)
 
     def run(lo, hi):
         n = hi - lo
@@ -750,6 +769,79 @@ def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
         plo, phi, pres = pending
         fi_out[plo:phi] = np.asarray(pres.fi)[: phi - plo]
         iters_out[plo:phi] = np.asarray(pres.iterations)[: phi - plo]
+
+    return FitResult(fi=fi_out, sens=None, iterations=iters_out,
+                     cond_scaled=np.full((B,), np.nan))
+
+
+def _fit_stream_sharded(mesh, xk, fk, xi_np, nk_np, *, chunk,
+                        fi_out, iters_out, kwargs) -> FitResult:
+    """Chunked streaming with each chunk data-parallel over ``mesh``.
+
+    One jitted ``shard_map`` of the planned :func:`fit_many` body is
+    compiled once; every chunk is ``device_put`` sharded along the case
+    axis (host→device transfers fan out to the shards directly) and
+    replayed through it.  The effective chunk size is rounded up to a
+    multiple of the shard count (× the kernel TILE when the plan routes
+    to the fused kernel) so each shard's slice is identical across
+    chunks — one compiled program for the whole stream, including the
+    padded tail.  Multi-chip counterpart of the reference's OpenMP
+    parallel loop over problems (reference: wlsqm/fitter/simple.pyx:953ff)
+    for clouds that exceed even the mesh's aggregate HBM.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    B, K, dim = xk.shape
+    if xi_np is None:
+        xi_np = np.zeros((B, dim), xk.dtype)
+    if nk_np is None:
+        nk_np = np.full((B,), K, np.int32)
+
+    n_shards = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    gran = n_shards
+    plan = kwargs.get("plan")
+    if plan is not None and plan.route.path == "kernel":
+        from wlsqm_tpu.ops.pallas_fit import TILE
+        gran = n_shards * TILE
+    step = -(-min(chunk, B) // gran) * gran
+
+    spec = PartitionSpec(axis)
+    shard = NamedSharding(mesh, spec)
+    kw = dict(kwargs)
+
+    def local(xk_, fk_, nk_, xi_):
+        res = fit_many(xk_, fk_, xi_, nk=nk_, **kw)
+        return res.fi, res.iterations
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(spec,) * 4,
+        out_specs=(spec, spec), check_vma=False))
+
+    def drain(pending):
+        plo, phi, pfi, pit = pending
+        fi_out[plo:phi] = np.asarray(pfi)[: phi - plo]
+        iters_out[plo:phi] = np.asarray(pit)[: phi - plo]
+
+    pending = None
+    for lo in range(0, B, step):
+        hi = min(lo + step, B)
+        pad = step - (hi - lo)
+
+        def padded(a):
+            sl = np.asarray(a[lo:hi])
+            if pad:
+                sl = np.concatenate([sl, np.repeat(sl[:1], pad, axis=0)])
+            return sl
+
+        args = [jax.device_put(padded(a), shard)
+                for a in (xk, fk, nk_np, xi_np)]
+        fi_c, it_c = fn(*args)
+        if pending is not None:
+            drain(pending)
+        pending = (lo, hi, fi_c, it_c)
+    if pending is not None:
+        drain(pending)
 
     return FitResult(fi=fi_out, sens=None, iterations=iters_out,
                      cond_scaled=np.full((B,), np.nan))

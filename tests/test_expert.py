@@ -397,6 +397,42 @@ def test_solve_device_matches_solve(rng):
                                atol=1e-11)
 
 
+def test_solve_stream_matches_sequential_solves(rng):
+    """solve_stream pipelines repeated solves (one in flight) and yields
+    per-step results identical to back-to-back solve_device calls, in
+    input order — including the drained last step."""
+    f, _ = quadratic_2d()
+    B, K = 20, 26
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.6, 0.6, (B, K, 2))
+    es = _solver_2d(B, K)
+    es.prepare(xi=xi, xk=xk)
+
+    steps = [f(xk) * (1.0 + 0.1 * t) for t in range(5)]
+    got = list(es.solve_stream(iter(steps)))
+    assert len(got) == len(steps)
+    for fk_t, (fi_t, it_t) in zip(steps, got):
+        fi_ref = np.zeros((B, 6))
+        it_ref = es.solve(fk=fk_t, fi=fi_ref)
+        np.testing.assert_allclose(fi_t, fi_ref, rtol=0, atol=1e-12)
+        assert it_t == it_ref
+        assert isinstance(fi_t, np.ndarray) and fi_t.dtype == np.float64
+
+
+def test_solve_stream_guards(rng):
+    f, _ = quadratic_2d()
+    B, K = 8, 20
+    es = _solver_2d(B, K)
+    with pytest.raises(RuntimeError, match="prepare"):
+        next(es.solve_stream(iter([np.zeros((B, K))])))
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.6, 0.6, (B, K, 2))
+    es2 = _solver_2d(B, K, do_sens=True)
+    es2.prepare(xi=xi, xk=xk)
+    with pytest.raises(ValueError, match="do_sens"):
+        next(es2.solve_stream(iter([f(xk)])))
+
+
 def test_solve_accepts_device_fk(rng):
     import jax.numpy as jnp
 

@@ -543,6 +543,50 @@ class ExpertSolver:
         self._fi_internal = fi_out[0] if fi_out.ndim == 3 else fi_out
         return fi_out, sens_out, iters
 
+    def solve_stream(self, fk_iter, fi_init=None):
+        """Pipelined repeated solves: one solve kept in flight.
+
+        Generator over an iterable of ``fk`` arrays (time steps, field
+        sweeps).  Step i+1 is DISPATCHED (async, device-side) before step
+        i's results are fetched, so the host transfer + sync of step i
+        overlaps the device compute of step i+1 — the double-buffer
+        pattern the in-place :meth:`solve` contract cannot express
+        (its output array must be filled before it returns).  On hosts
+        where the per-call sync dominates (remote-attached devices),
+        this halves the effective per-step latency of a host-driven
+        time loop; device-resident loops should use :meth:`solve_device`
+        inside ``lax.scan`` instead.
+
+        fk_iter: iterable of (ncases, max_nk) host or device arrays.
+        fi_init: optional (ncases, NO) knowns/seed, reused every step.
+
+        Yields ``(fi, max_iters)`` per step — ``fi`` a fresh host
+        (ncases, NO) float64 array, ``max_iters`` an int (0 for
+        ALGO_BASIC), matching :meth:`solve`'s return convention.
+        """
+        if not self.ready:
+            raise RuntimeError(
+                "Solver is not in the ready state; prepare() must be called "
+                "before solve_stream()")
+        if self.do_sens:
+            raise ValueError(
+                "solve_stream does not support do_sens (the sensitivity "
+                "tensor would dominate the transfer); use solve()")
+
+        def finalize(pending):
+            fi_d, it_d = pending
+            fi_np, it_np = jax.device_get([fi_d, it_d])
+            return fi_np, int(np.asarray(it_np).max(initial=0))
+
+        pending = None
+        for fk in fk_iter:
+            fi_d, _sens, it_d = self.solve_device(fk, fi_init)
+            if pending is not None:
+                yield finalize(pending)
+            pending = (fi_d, it_d)
+        if pending is not None:
+            yield finalize(pending)
+
     def _kernel_eligible(self, fk) -> bool:
         """Whether solve() may route through the fused Pallas kernel.
 

@@ -71,9 +71,19 @@ def main():
     jax.block_until_ready(outs[-1])
     r_dev = B * 24 / (time.perf_counter() - t0)
     print("solve_device() (no sync)    : %8.0f solves/s" % r_dev, flush=True)
-    print("speedups vs NumPy boundary: device-fk %.1fx, device-resident "
-          "%.1fx; round-2 recorded 77k/s on this config"
-          % (r_dev_in / r_np, r_dev / r_np), flush=True)
+
+    # 4. pipelined host boundary: one solve in flight, results on host
+    list(solver.solve_stream(iter(fks[:2])))        # warm
+    t0 = time.perf_counter()
+    n_steps = 24
+    got = list(solver.solve_stream(fks[i % 8] for i in range(n_steps)))
+    r_stream = B * n_steps / (time.perf_counter() - t0)
+    assert len(got) == n_steps
+    print("solve_stream() (pipelined)  : %8.0f solves/s" % r_stream,
+          flush=True)
+    print("speedups vs NumPy boundary: device-fk %.1fx, pipelined %.1fx, "
+          "device-resident %.1fx; round-2 recorded 77k/s on this config"
+          % (r_dev_in / r_np, r_stream / r_np, r_dev / r_np), flush=True)
 
 
 if __name__ == "__main__":

@@ -394,3 +394,65 @@ def test_iter_count_fidelity_pins_engine(rng, monkeypatch):
     # planning honors it too
     plan = api.plan_fit_many(jnp.asarray(xk), order=2, iterative=True)
     assert plan.route.path == "xla"
+
+
+def test_iter_count_fidelity_scoped_default(monkeypatch):
+    """Round-5 scoped default (VERDICT r4 next #6): the drop-in compat
+    surface keeps the reference's f64 iteration-count semantics by
+    default (reference users branch on the count,
+    reference: wlsqm/fitter/simple.pyx:103-105), while wlsqm_tpu.api
+    keeps the fast kernel default; an explicit setting wins for both."""
+    from wlsqm_tpu import config
+
+    monkeypatch.setattr(config, "_ITER_COUNT_FIDELITY", None)
+    assert config.iter_count_fidelity() is False
+    assert config.iter_count_fidelity(compat=True) is True
+    config.set_iter_count_fidelity(False)
+    assert config.iter_count_fidelity(compat=True) is False
+    config.set_iter_count_fidelity(True)
+    assert config.iter_count_fidelity() is True
+    config.set_iter_count_fidelity(None)
+    assert config.iter_count_fidelity(compat=True) is True
+
+
+def test_iter_count_fidelity_env_parsing(monkeypatch):
+    """WLSQM_TPU_ITER_COUNT_FIDELITY: unset -> scoped default; '0'/'false'
+    -> off everywhere; '1' -> on everywhere."""
+    from wlsqm_tpu import config
+
+    monkeypatch.delenv("WLSQM_TPU_ITER_COUNT_FIDELITY", raising=False)
+    assert config._env_tristate("WLSQM_TPU_ITER_COUNT_FIDELITY") is None
+    monkeypatch.setenv("WLSQM_TPU_ITER_COUNT_FIDELITY", "0")
+    assert config._env_tristate("WLSQM_TPU_ITER_COUNT_FIDELITY") is False
+    monkeypatch.setenv("WLSQM_TPU_ITER_COUNT_FIDELITY", "false")
+    assert config._env_tristate("WLSQM_TPU_ITER_COUNT_FIDELITY") is False
+    monkeypatch.setenv("WLSQM_TPU_ITER_COUNT_FIDELITY", "1")
+    assert config._env_tristate("WLSQM_TPU_ITER_COUNT_FIDELITY") is True
+
+
+@pytest.mark.full
+def test_compat_iterative_defaults_to_engine_counts(rng, monkeypatch):
+    """The compat fit_*_iterative_many keeps the f64 engine by default
+    (scoped count fidelity); set_iter_count_fidelity(False) opts back
+    into kernel routing."""
+    from wlsqm_tpu import config
+    from wlsqm_tpu.fitter import simple as compat
+
+    spy = _spy(monkeypatch)   # pretends backend="tpu", spies fit_pallas
+    monkeypatch.setattr(config, "_ITER_COUNT_FIDELITY", None)
+    B, K = pallas_fit.TILE, 30
+    xk, xi = _cloud(rng, B, K, 0.8)
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    fi = np.zeros((B, 6))
+    nk = np.full(B, K, np.int32)
+    order = np.full(B, 2, np.int32)
+    knowns = np.zeros(B, np.int64)
+    wm = np.full(B, defs.WEIGHT_UNIFORM, np.int32)
+    it = compat.fit_2D_iterative_many(xk, fk, nk, xi, fi, None, 0, order,
+                                      knowns, wm, max_iter=3)
+    assert spy.calls == 0          # scoped default: engine counts
+    assert it >= 1
+    monkeypatch.setattr(config, "_ITER_COUNT_FIDELITY", False)
+    compat.fit_2D_iterative_many(xk, fk, nk, xi, fi, None, 0, order,
+                                 knowns, wm, max_iter=3)
+    assert spy.calls == 1          # explicit opt-out: kernel routing

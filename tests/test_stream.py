@@ -106,7 +106,7 @@ def test_stream_sharded_equals_fit_many(rng):
     over the 8-device mesh — is bit-identical to a single unsharded
     fit_many of the whole cloud under the same plan (the streaming
     analogue of the sharded ≡ single-device equivalence contract)."""
-    B = 150   # 4 chunks at step 48 (48 = ceil(40/8)*8), padded tail
+    B = 150   # 4 chunks at step 40 (= ceil(40/8)*8), padded tail of 30
     xk, fk, xi = _problem(rng, B, K=14)
     mesh = _mesh_or_skip()
     plan = api.plan_fit_many(xk, xi, order=2)

@@ -720,7 +720,10 @@ def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
     if (kwargs.get("backend", "auto") == "auto"
             and "plan" not in kwargs and not per_case
             and (B >= chunk or mesh is not None)):
-        probe_n = min(B, chunk)
+        # with a mesh, `chunk` may be sized for the mesh's AGGREGATE HBM;
+        # the plan probe runs unsharded on one device, so cap its slice —
+        # the routing decision only needs representative geometry
+        probe_n = min(B, chunk if mesh is None else min(chunk, 16384))
         kwargs["plan"] = plan_fit_many(
             xk[:probe_n], None if xi_np is None else xi_np[:probe_n],
             nk=None if nk_np is None else nk_np[:probe_n],
@@ -805,6 +808,16 @@ def _fit_stream_sharded(mesh, xk, fk, xi_np, nk_np, *, chunk,
         from wlsqm_tpu.ops.pallas_fit import TILE
         gran = n_shards * TILE
     step = -(-min(chunk, B) // gran) * gran
+    if step > 2 * chunk:
+        import warnings
+
+        warnings.warn(
+            "fit_stream(mesh=...): the requested chunk=%d was rounded up "
+            "to %d cases per step (shard granularity: %d shards x %d-case "
+            "kernel tiles); size the chunk for the mesh's aggregate HBM "
+            "or expect ~%.0fx the requested per-step footprint"
+            % (chunk, step, n_shards, gran // n_shards, step / chunk),
+            stacklevel=3)
 
     spec = PartitionSpec(axis)
     shard = NamedSharding(mesh, spec)

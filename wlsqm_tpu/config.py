@@ -121,19 +121,42 @@ def compat_precision() -> str:
 # distribution (measured table: benchmarks/run_iter_parity.py; order-2
 # medians match, order-4 kernel counts saturate later).  Callers who
 # BRANCH on the returned count can pin iterative calls to the engine.
+#
+# Default is SCOPED (round 5): the drop-in compat surface (``wlsqm.*``
+# ``fit_*_iterative*`` entries and ``ExpertSolver`` with
+# ALGO_ITERATIVE) defaults to fidelity ON — reference users branch on
+# the returned counts (reference: wlsqm/fitter/simple.pyx:103-105) and
+# must not get silently different control flow — while the JAX-native
+# ``wlsqm_tpu.api`` keeps the fast kernel default.  An explicit
+# ``set_iter_count_fidelity()`` call or the environment variable
+# overrides both scopes.
 # ---------------------------------------------------------------------------
 
-_ITER_COUNT_FIDELITY = bool(os.environ.get("WLSQM_TPU_ITER_COUNT_FIDELITY"))
+def _env_tristate(name: str):
+    v = os.environ.get(name)
+    if v is None:
+        return None
+    return v.strip().lower() not in ("", "0", "false", "off", "no")
 
 
-def set_iter_count_fidelity(enabled: bool) -> None:
+_ITER_COUNT_FIDELITY = _env_tristate("WLSQM_TPU_ITER_COUNT_FIDELITY")
+
+
+def set_iter_count_fidelity(enabled: bool | None) -> None:
     """Route compat/auto ALGO_ITERATIVE calls to the f64 engine so the
     returned iteration counts carry the reference's exact f64
-    stagnation semantics (at engine speed)."""
+    stagnation semantics (at engine speed).  ``None`` restores the
+    scoped defaults (compat surface: on; ``wlsqm_tpu.api``: off)."""
     global _ITER_COUNT_FIDELITY
-    _ITER_COUNT_FIDELITY = bool(enabled)
+    _ITER_COUNT_FIDELITY = None if enabled is None else bool(enabled)
 
 
-def iter_count_fidelity() -> bool:
-    """Whether iterative compat/auto calls must keep f64 count semantics."""
-    return _ITER_COUNT_FIDELITY
+def iter_count_fidelity(compat: bool = False) -> bool:
+    """Whether iterative calls must keep f64 count semantics.
+
+    ``compat=True`` is passed by the drop-in compat surface, whose
+    scoped default is fidelity ON; explicit settings win for both.
+    """
+    if _ITER_COUNT_FIDELITY is not None:
+        return _ITER_COUNT_FIDELITY
+    return compat

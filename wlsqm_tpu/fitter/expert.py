@@ -309,7 +309,9 @@ class ExpertSolver:
             from wlsqm_tpu import config
             from wlsqm_tpu.fitter import engine_ds, ladder
 
-            if config.compat_precision() != "f64":
+            count_fidelity = (self.algorithm == defs.ALGO_ITERATIVE
+                              and config.iter_count_fidelity(compat=True))
+            if config.compat_precision() != "f64" and not count_fidelity:
                 self._run_kernel_probe()
                 route = ladder.choose(
                     self._cond_amp, kernel_ok=False,
@@ -564,6 +566,8 @@ class ExpertSolver:
         (ncases, NO) float64 array, ``max_iters`` an int (0 for
         ALGO_BASIC), matching :meth:`solve`'s return convention.
         """
+        # validate eagerly (a generator body would defer these errors to
+        # the first next(), far from the faulty call site)
         if not self.ready:
             raise RuntimeError(
                 "Solver is not in the ready state; prepare() must be called "
@@ -572,7 +576,9 @@ class ExpertSolver:
             raise ValueError(
                 "solve_stream does not support do_sens (the sensitivity "
                 "tensor would dominate the transfer); use solve()")
+        return self._solve_stream_inner(fk_iter, fi_init)
 
+    def _solve_stream_inner(self, fk_iter, fi_init):
         def finalize(pending):
             fi_d, it_d = pending
             fi_np, it_np = jax.device_get([fi_d, it_d])
@@ -605,8 +611,10 @@ class ExpertSolver:
         if config.compat_precision() == "f64":
             return False
         if (self.algorithm == defs.ALGO_ITERATIVE
-                and config.iter_count_fidelity()):
-            # exact f64 stagnation-count semantics requested
+                and config.iter_count_fidelity(compat=True)):
+            # exact f64 stagnation-count semantics (the compat-surface
+            # default since round 5; set_iter_count_fidelity(False) opts
+            # into the fast kernel counts)
             return False
         if jax.default_backend() == "cpu" or self.xk is None:
             return False

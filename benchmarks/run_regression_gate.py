@@ -1,14 +1,16 @@
 """Performance regression gate: fail if any recorded row drops >10%.
 
-Re-measures the five performance-critical rows with the hardened
-device-side protocol (compiled scan over resident chunks, >=0.5 s timed
-region, median of reps, checksum-synced — the same protocol as bench.py)
-and compares against ``benchmarks/perf_reference.json``:
+Re-measures the performance-critical rows with the hardened device-side
+protocol (compiled scan over resident chunks, >=0.5 s timed region,
+median of reps, checksum-synced — the same protocol as bench.py) and
+compares against ``benchmarks/perf_reference.json``:
 
   headline   2D order-4 K=30 WEIGHT_CENTER ds kernel      (M fits/s)
+  auto       the PUBLIC route: plan_fit_many->fit_many    (M fits/s)
   iterative  + ALGO_ITERATIVE max_iter=3                  (M fits/s)
   sens       + in-kernel sensitivities                    (M fits/s)
   dim3       3D order-4 K=48 (NO=35, recompute-basis)     (M fits/s)
+  expert     ExpertSolver NumPy solve boundary, B=8192    (k solves/s)
   gather     window-gather IBVP step, F=1, 20,480 pts     (ms/step)
 
 Run:    python benchmarks/run_regression_gate.py            # gate (rc!=0 on fail)
@@ -121,6 +123,68 @@ def _kernel_row(key, *, dim=2, order=4, K=30, chunk=32768, do_sens=False,
     return key, rate / 1e6, spread, compile_s
 
 
+def _auto_row(key, *, chunk=32768, K=30):
+    """The PUBLIC route end to end: plan_fit_many -> fit_many(plan=).
+
+    Probe + ladder + (split) routing included — the path users hold
+    (VERDICT r4 weak #1: the recorded headline must not bypass it).
+    """
+    import jax.numpy as jnp
+
+    import wlsqm_tpu as wt
+    from wlsqm_tpu.fitter import defs
+
+    key, (xks, fks) = _chunks(key, chunk, K, 2)
+    nk = jnp.full((chunk,), K, jnp.int32)
+    xi = jnp.zeros((chunk, 2))
+    plan = wt.plan_fit_many(xks[0], xi, nk=nk, order=4,
+                            weighting=defs.WEIGHT_CENTER)
+    print("auto route: %s" % (plan.route,), flush=True)
+
+    def fit_chunk(xk, fk):
+        return wt.fit_many(xk, fk, xi, nk=nk, order=4,
+                           weighting=defs.WEIGHT_CENTER, plan=plan).fi
+
+    rate, spread, compile_s = _measure_rate(fit_chunk, xks, fks, chunk)
+    return key, rate / 1e6, spread, compile_s
+
+
+def _expert_row(key, *, B=8192, K=30, reps=5):
+    """ExpertSolver NumPy solve boundary (solves/s, bridge floor incl.).
+
+    Guards the client-side dispatch path (validation, upload, one
+    device_get) that a pure kernel row cannot see — the round-3
+    eager-dispatch regression class (reference contract:
+    wlsqm/fitter/expert.pyx:467-655).
+    """
+    import time as _t
+
+    import wlsqm_tpu as wt
+
+    rng = np.random.default_rng(5)
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.5, 0.5, (B, K, 2))
+    fks = [np.sin((1 + 0.1 * i) * xk[..., 0]) * np.cos(xk[..., 1])
+           for i in range(8)]
+    solver = wt.ExpertSolver(
+        2, np.full(B, K, np.int32), np.full(B, 4, np.int32),
+        np.zeros(B, np.int64), np.full(B, wt.WEIGHT_CENTER, np.int32))
+    solver.prepare(xi=xi, xk=xk)
+    fi = np.zeros((B, wt.number_of_dofs(2, 4)))
+    solver.solve(fk=fks[0], fi=fi)          # compile
+    n = 24
+    rates = []
+    for _ in range(reps):
+        t0 = _t.perf_counter()
+        for i in range(n):
+            solver.solve(fk=fks[i % 8], fi=fi)
+        rates.append(B * n / (_t.perf_counter() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    spread = (rates[-1] - rates[0]) / med
+    return key, med / 1e3, spread, 0.0
+
+
 def _gather_row(key):
     """F=1 ds IBVP heat step with the window gather (ms/step)."""
     import jax
@@ -186,12 +250,16 @@ def _gather_row(key):
 ROWS = {
     "headline": dict(kind="rate", unit="M fits/s",
                      fn=lambda key: _kernel_row(key)),
+    "auto": dict(kind="rate", unit="M fits/s",
+                 fn=lambda key: _auto_row(key)),
     "iterative": dict(kind="rate", unit="M fits/s",
                       fn=lambda key: _kernel_row(key, max_iter=3)),
     "sens": dict(kind="rate", unit="M fits+sens/s",
                  fn=lambda key: _kernel_row(key, do_sens=True, chunk=8192)),
     "dim3": dict(kind="rate", unit="M fits/s",
                  fn=lambda key: _kernel_row(key, dim=3, K=48, chunk=8192)),
+    "expert": dict(kind="rate", unit="k solves/s",
+                   fn=lambda key: _expert_row(key)),
     "gather": dict(kind="ms", unit="ms/step", fn=None),  # special-cased
 }
 

@@ -38,11 +38,17 @@ def _stub_fit_pallas(calls):
     """A fit_pallas lookalike backed by the f64 XLA engine."""
 
     def stub(xk, fk, nk, xi, fi_init=None, *, dimension, order, weighting,
-             knowns=0, **kw):
+             knowns=0, emit_cond=False, **kw):
         calls.append((int(xk.shape[0]), int(order)))
         res = api.fit_many(xk, fk, xi, nk=nk, order=order, knowns=knowns,
                            fi_init=fi_init, weighting=weighting,
                            backend="xla")
+        if emit_cond:
+            # all-certified key: the split's tail stays empty, so the
+            # grouping/scatter logic under test is unchanged
+            import jax.numpy as jnp
+
+            return res.fi, jnp.zeros((xk.shape[0],), jnp.float64)
         return res.fi
 
     return stub

@@ -9,6 +9,8 @@ import json
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from wlsqm_tpu.fitter import calibration, condprobe, ladder
 
 
@@ -137,16 +139,24 @@ def test_calibrate_device_fit_logic(monkeypatch, tmp_path):
                             kw["weighting"], dimension=2,
                             sample=len(ref))[0])
         pert = (unit * ca)[:, None] * np.abs(ref).max(-1, keepdims=True)
+        if kw.get("emit_cond"):
+            # fake per-case key: the exact cond with a uniform 1.5x slack
+            return ref + pert, jnp.asarray(1.5 * ca)
         return ref + pert
 
     monkeypatch.setattr(pf, "fit_pallas", fake_fit)
     cal = calibration.calibrate_device(batch=64, radii=(0.3, 1.0),
                                        persist=True)
     assert cal.certified and cal.source == "measured"
-    # fitted cert unit = worst err/ca * margin ~ true_unit * 1.6 (the
-    # probe's cond differs slightly from the fake's, allow slack)
+    # fitted cert unit: edge-anchored — err = unit*ca crosses tol/HEADROOM
+    # beyond the swept ca range here, so the edge clamps to the swept max
+    # and the fitted unit lands within a small factor of the true one
     assert true_unit <= cal.ds_cert_unit <= true_unit * 4
     assert cal.ts_parity_unit < cal.ds_cert_unit
+    # est-envelope fields fit against the kernel-emitted key: the key's
+    # uniform 1.5x slack puts the est unit ~1/1.5x the ca-based one
+    assert cal.est_ds_cert_unit_m is not None
+    assert cal.est_ds_cert_unit_m < cal.ds_cert_unit * 2
     # persisted and reloadable
     calibration._reset_cache()
     assert calibration.active().source == "measured"

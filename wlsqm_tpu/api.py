@@ -138,6 +138,144 @@ def _run_kernel_group(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
     return fi, iters, sens
 
 
+def _run_kernel_split(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
+                      weighting, route, interpret):
+    """Run one homogeneous group through the per-case certified split.
+
+    The moment kernel (in ``route.kernel_precision`` — "ds" or "dsts")
+    fits ALL cases and emits the per-case certification key; the cases
+    whose key exceeds ``route.split_edge`` — up to the static
+    ``route.tail_frac`` window — are re-solved by the ts moment kernel and
+    scattered over the fast result.  Shapes are static throughout
+    (threshold compaction via ``jnp.nonzero(size=...)``), so the route
+    traces under jit/scan/shard_map.  Certified cases take the fast
+    partition's envelope; tail cases take the batch-level ts route's —
+    per-case certification over EVERY case, which the sampled probe of
+    the batch-level routes cannot give (it can miss the conditioning
+    maximum entirely; the round-5 headline cloud's sampled max was
+    21,101 vs a true 50,876).  Basic algorithm only.  Returns
+    (fi (B, no_g), iters zeros, None) like :func:`_run_kernel_group`.
+    """
+    from wlsqm_tpu.ops import pallas_fit
+
+    B = xk.shape[0]
+    pad = (-B) % pallas_fit.TILE
+
+    def cat(a):
+        if a is None or not pad:
+            return a
+        return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)])
+
+    xk_p, fk_p, nk_p, xi_p, fi0_p = map(cat, (xk, fk, nk, xi, fi_init))
+    fi_fast, est = pallas_fit.fit_pallas_jit(
+        xk_p, fk_p, nk_p, xi_p, fi0_p, dimension=dim, order=order,
+        weighting=weighting, knowns=knowns, interpret=interpret,
+        precision=route.kernel_precision, assembly="moments",
+        refine_steps=route.refine_steps, emit_cond=True)
+    fi_fast, est = fi_fast[:B], est[:B]
+
+    k = max(1, min(int(np.ceil(route.tail_frac * B)), B))
+    bad = ~(est <= route.split_edge)   # NaN-keyed (degenerate) -> tail
+    (idx,) = jnp.nonzero(bad, size=k, fill_value=B)
+    idxc = jnp.minimum(idx, B - 1)     # clipped gather; fills are dropped
+    ts_route = ladder.Route(path="kernel", kernel_precision="ts",
+                            assembly="moments",
+                            refine_steps=route.tail_refine_steps)
+    fi_tail, _, _ = _run_kernel_group(
+        xk[idxc], fk[idxc], nk[idxc], xi[idxc],
+        None if fi_init is None else fi_init[idxc],
+        dim=dim, order=order, knowns=knowns, weighting=weighting,
+        route=ts_route, refine_steps=None, do_sens=False, iterative=False,
+        max_iter=0, interpret=interpret)
+    fi = fi_fast.at[idx].set(fi_tail, mode="drop")
+    return fi, jnp.zeros((B,), jnp.int32), None
+
+
+def _eager_split_group(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
+                       weighting, prec, edge, tail_route):
+    """Eager (concrete-data) per-case split of one homogeneous group.
+
+    Unlike the planned :func:`_run_kernel_split`, the eager path reads
+    the kernel-emitted key back to the host and re-solves EXACTLY the
+    uncertified cases — no static tail window, no margin: every case's
+    result carries its own certified envelope (fast-partition or tail).
+    """
+    from wlsqm_tpu.fitter import condprobe
+    from wlsqm_tpu.ops import pallas_fit
+
+    B = xk.shape[0]
+    pad = (-B) % pallas_fit.TILE
+
+    def cat(a):
+        if a is None or not pad:
+            return a
+        return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)])
+
+    xk_p, fk_p, nk_p, xi_p, fi0_p = map(cat, (xk, fk, nk, xi, fi_init))
+    steps = 3 if prec == "dsts" else condprobe.pick_steps_at_edge(edge)
+    fi_fast, est = pallas_fit.fit_pallas_jit(
+        xk_p, fk_p, nk_p, xi_p, fi0_p, dimension=dim, order=order,
+        weighting=weighting, knowns=knowns, interpret=False,
+        precision=prec, assembly="moments", refine_steps=steps,
+        emit_cond=True)
+    fi_fast = fi_fast[:B]
+    est_np = np.asarray(est[:B])
+    sel = np.nonzero(~(est_np <= edge))[0]
+    if not len(sel):
+        return fi_fast, jnp.zeros((B,), jnp.int32), None
+    sel_j = jnp.asarray(sel)
+    fi_t, _, _ = _run_kernel_group(
+        xk[sel_j], fk[sel_j], nk[sel_j], xi[sel_j],
+        None if fi_init is None else fi_init[sel_j],
+        dim=dim, order=order, knowns=knowns, weighting=weighting,
+        route=tail_route, refine_steps=None, do_sens=False,
+        iterative=False, max_iter=0, interpret=False)
+    fi = fi_fast.at[sel_j].set(fi_t)
+    return fi, jnp.zeros((B,), jnp.int32), None
+
+
+def _maybe_split_route(route, xk, nk, xi, *, dim, K, o, kn, wm,
+                       basic: bool):
+    """Upgrade a batch-level ts kernel route to the per-case split.
+
+    Engages when the batch could not certify the fast (moments-ds/dsts)
+    body as a whole but a large fraction of its cases certify
+    individually under the calibrated per-case key envelope
+    (``est_*`` units): the certified majority then runs the ~2x-faster
+    fast body and only the tail pays ts.  Decision needs concrete data
+    (the key distribution), mirroring the probe/ladder split of
+    plan-time vs run-time everywhere else in this module.
+    """
+    from wlsqm_tpu.fitter import condprobe
+    from wlsqm_tpu.ops import pallas_fit
+
+    if (route.path != "kernel" or route.kernel_precision != "ts"
+            or not basic or not pallas_fit.moment_auto_ok(dim, o, K)):
+        return route
+    choice = condprobe.split_partition_choice()
+    if choice is None:
+        return route
+    prec, edge = choice
+    est = np.asarray(condprobe.cond_key(xk, nk, xi, dimension=dim, order=o,
+                                        knowns=kn, weighting=wm))
+    B = est.shape[0]
+    frac_fast = float((est <= edge).mean())
+    if frac_fast < ladder.SPLIT_MIN_FRAC:
+        return route
+    tail_frac = float(min(1.0, (1.0 - frac_fast) * ladder.TAIL_MARGIN
+                          + pallas_fit.TILE / max(B, 1)))
+    # dsts sweeps contract at the same f32-preconditioner rate as ds;
+    # 3 sweeps are converged at any certifiable edge (rate^4 < 1e-13 at
+    # est = 8000), so the dsts partition pins r3 and the ds partition
+    # takes the model pick
+    steps = 3 if prec == "dsts" else condprobe.pick_steps_at_edge(edge)
+    return dataclasses.replace(
+        route, path="kernel-split", assembly="moments",
+        kernel_precision=prec, refine_steps=steps,
+        tail_refine_steps=route.refine_steps,
+        split_edge=edge, tail_frac=tail_frac)
+
+
 def _embed_kernel_result(fi_g, iters, sens, fi_init, B, NO, dim, order):
     """Embed a kernel group result (no_g DOFs) into the caller's NO-column
     layout, keeping ``fi_init`` values on the inactive trailing DOFs."""
@@ -350,6 +488,22 @@ def fit_many(
         # static routing decision from plan_fit_many: no host-side data
         # inspection, so this path traces under jit/scan/shard_map
         route = plan.route
+        if route.path == "kernel-split":
+            if do_sens or iterative:
+                raise ValueError(
+                    "a kernel-split plan covers the basic algorithm only; "
+                    "re-plan with do_sens/iterative set")
+            o = int(np.max(np.asarray(order)))
+            no_g = defs.number_of_dofs(dim, o)
+            fi0_k = (None if fi_init is None
+                     else jnp.asarray(fi_init)[:, :no_g])
+            fi_g, iters, sens = _run_kernel_split(
+                xk, fk, nk, xi, fi0_k, dim=dim, order=o,
+                knowns=int(np.max(np.asarray(knowns))),
+                weighting=int(np.max(np.asarray(weighting))), route=route,
+                interpret=jax.default_backend() == "cpu")
+            return _embed_kernel_result(fi_g, iters, sens, fi_init, B, NO,
+                                        dim, o)
         if route.path == "kernel":
             o = int(np.max(np.asarray(order)))
             kn = int(np.max(np.asarray(knowns)))
@@ -519,11 +673,32 @@ def _auto_dispatch(xk, fk, nk, xi, fi_init, *, dim, B, K, NO, order_a,
         if fi_init_np is not None:
             fi0_g = jnp.asarray(fi_init_np[:, :no_g] if whole
                                 else fi_init_np[sel][:, :no_g])
-        fi_g, iters_g, sens_g = _run_kernel_group(
-            xk_g, fk if whole else fk[sel_j], nk_g, xi_g, fi0_g,
-            dim=dim, order=o, knowns=kn, weighting=wm, route=route,
-            refine_steps=refine_steps, do_sens=do_sens,
-            iterative=iterative, max_iter=max_iter, interpret=False)
+        fk_g = fk if whole else fk[sel_j]
+        split = None
+        if (basic and refine_steps is None
+                and route.kernel_precision == "ts"
+                and pallas_fit.moment_auto_ok(dim, o, K)):
+            choice = condprobe.split_partition_choice()
+            if choice is not None and cond_amp is not None:
+                prec, edge = choice
+                ca_g = cond_amp[0] * cond_amp[1]
+                # perf heuristic on the sampled probe (soundness comes
+                # from the per-case runtime key): engage when the
+                # median-slack-scaled sample mostly certifies
+                if (float((ca_g * ladder.EST_OVER_COND_MED
+                           <= edge).mean()) >= ladder.SPLIT_MIN_FRAC):
+                    split = (prec, edge)
+        if split is not None:
+            fi_g, iters_g, sens_g = _eager_split_group(
+                xk_g, fk_g, nk_g, xi_g, fi0_g, dim=dim, order=o,
+                knowns=kn, weighting=wm, prec=split[0], edge=split[1],
+                tail_route=dataclasses.replace(route, assembly="moments"))
+        else:
+            fi_g, iters_g, sens_g = _run_kernel_group(
+                xk_g, fk_g, nk_g, xi_g, fi0_g,
+                dim=dim, order=o, knowns=kn, weighting=wm, route=route,
+                refine_steps=refine_steps, do_sens=do_sens,
+                iterative=iterative, max_iter=max_iter, interpret=False)
         if whole:
             return _embed_kernel_result(fi_g, iters_g, sens_g, fi_init,
                                         B, NO, dim, o)
@@ -651,6 +826,12 @@ def plan_fit_many(
                                                      nplanes=3)))
     if refine_steps is not None and route.path == "kernel":
         route = dataclasses.replace(route, refine_steps=refine_steps)
+    elif refine_steps is None:
+        # a batch-level ts route may upgrade to the per-case certified
+        # split when most of the planning batch certifies individually
+        # for the ~2x-faster moments-ds/dsts body (fitter/ladder.py)
+        route = _maybe_split_route(route, xk, nk, xi, dim=dim, K=K, o=o,
+                                   kn=kn, wm=wm, basic=basic)
     return FitPlan(route=route)
 
 
@@ -803,7 +984,7 @@ def _fit_stream_sharded(mesh, xk, fk, xi_np, nk_np, *, chunk,
     axis = mesh.axis_names[0]
     gran = n_shards
     plan = kwargs.get("plan")
-    if plan is not None and plan.route.path == "kernel":
+    if plan is not None and plan.route.path in ("kernel", "kernel-split"):
         from wlsqm_tpu.ops.pallas_fit import TILE
         gran = n_shards * TILE
     step = -(-min(chunk, B) // gran) * gran

@@ -45,8 +45,13 @@ __all__ = ["DeviceCalibration", "active", "calibrate_device",
            "device_kind"]
 
 #: bump when the calibration methodology changes; persisted records from
-#: an older harness must not be trusted
-VERSION = 2
+#: an older harness must not be trusted.  v3: certification units are
+#: EDGE-ANCHORED (unit = tol / (SAFETY * edge) with the edge placed where
+#: the measured worst-err envelope still has CERT_HEADROOM to the bar) —
+#: the v2 global max(err/ca) fit was dominated by mid-band cases far
+#: outside the certified region and produced units 10-30x more
+#: pessimistic than the envelope the gate actually relies on at its edge
+VERSION = 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,12 +59,16 @@ class DeviceCalibration:
     """Accuracy-model units for one device kind.
 
     The plain units describe the basis-ROWS kernel; the ``*_m`` variants
-    describe the MOMENT-assembly kernel (``assembly="moments"``), whose
-    envelope is inherently looser: its stored normal matrix accumulates
-    raw monomial sums whose odd/high moments cancel, amplifying the
-    per-term extended-precision chain error ~15-30x (measured, round 4).
-    The ladder certifies each assembly against ITS units and picks the
-    fastest certified one.
+    describe the MOMENT-assembly kernel (``assembly="moments"``).  The
+    round-4 relaxed pair accumulation made the moment envelope ~30x
+    looser (odd/high-moment cancellation inflating the unrenormalized
+    lo plane); with the FULL renormalized adds now in the moment chain
+    (ops/pallas_fit.py asm_body note) the measured moment envelopes sit
+    within ~1.3x of the rows body in ds, and in ts arithmetic the two
+    assemblies converge BIT-IDENTICALLY (both refine below f64
+    resolution; verified on the 14,336-case round-5 sweep,
+    benchmarks/r5_probe.json).  The ladder certifies each assembly
+    against ITS units and picks the fastest certified one.
 
     ``certified`` distinguishes a record backed by a hardware sweep
     (shipped or measured) from the fallback defaults: only certified
@@ -71,9 +80,17 @@ class DeviceCalibration:
     ts_parity_unit: float     # per-case ts-vs-f64-oracle envelope
     beyond_parity_floor: float  # ds floor above which parity is unattainable
     kernel_max_floor: float   # ds floor beyond which geometry is degenerate
-    ds_unit_m: float = 2.6e-14       # moment-assembly counterparts
-    ds_cert_unit_m: float = 3.9e-13
-    ts_parity_unit_m: float = 9.1e-15
+    ds_unit_m: float = 8e-15         # moment-assembly counterparts
+    ds_cert_unit_m: float = 1.6e-14
+    ts_parity_unit_m: float = 7e-16
+    #: split-route envelopes, calibrated against the KERNEL-EMITTED
+    #: per-case key (``fit_pallas(..., emit_cond=True)``; reference
+    #: implementation :func:`wlsqm_tpu.fitter.condprobe.cond_key`):
+    #: err <= est_unit * key, edge-anchored like the ds/ts units.
+    #: None disables the split route on this device kind.
+    est_ds_cert_unit_m: float | None = None    # moments-ds partition
+    est_dsts_cert_unit_m: float | None = None  # moments-dsts partition
+    est_ts_parity_unit_m: float | None = None  # ts tail / diagnostics
     certified: bool = True
     source: str = "shipped"   # "shipped" | "measured" | "env" | "default"
 
@@ -86,12 +103,24 @@ class DeviceCalibration:
 
 #: the TPU v5e sweep values (benchmarks/run_gate_check.py,
 #: run_ts_percase.py, run_cond_sweep*.py — see condprobe.py for the
-#: provenance of each number; moment units from the round-4
-#: calibrate_device sweeps on v5e)
+#: provenance of each number).  Moment units refreshed in round 5 from
+#: the 14,336-case full-renorm-accumulation sweep
+#: (benchmarks/r5_probe.json + run_gate_check.py re-run): ds moment
+#: edge ca=1562 (unit 1.6e-14; worst observed certified err 2.49e-11,
+#: 4x headroom), ts moment output BIT-IDENTICAL to ts rows across the
+#: sweep, hence the same 7e-16 unit (worst err at the 3.57e4 edge
+#: 2.38e-11, 4.2x headroom).  The round-4 values (3.9e-13 / 9.1e-15)
+#: measured the since-replaced relaxed pair accumulation.
 _V5E = dict(ds_unit=2e-15, ds_cert_unit=1.25e-14, ts_parity_unit=7e-16,
             beyond_parity_floor=1e-8, kernel_max_floor=1e-3,
-            ds_unit_m=2.6e-14, ds_cert_unit_m=3.9e-13,
-            ts_parity_unit_m=9.1e-15)
+            ds_unit_m=8e-15, ds_cert_unit_m=1.6e-14,
+            ts_parity_unit_m=7e-16,
+            # per-case key envelopes (benchmarks/run_r5_calsweep.py,
+            # 14,336 cases, CERT_HEADROOM=5 edges: ds_mom est-edge 1108,
+            # dsts_mom 1560, ts_mom 51300 — worst-at-edge 1.85e-11 /
+            # 1.96e-11 / 4.9e-12)
+            est_ds_cert_unit_m=2.26e-14, est_dsts_cert_unit_m=1.6e-14,
+            est_ts_parity_unit_m=4.9e-16)
 
 #: shipped records, matched by lower-case substring of the device kind
 _SHIPPED: tuple[tuple[str, dict], ...] = (
@@ -153,6 +182,15 @@ def _from_record(rec: dict, source: str) -> DeviceCalibration | None:
                                          _V5E["ds_cert_unit_m"])),
             ts_parity_unit_m=float(rec.get("ts_parity_unit_m",
                                            _V5E["ts_parity_unit_m"])),
+            est_ds_cert_unit_m=(None if rec.get("est_ds_cert_unit_m")
+                                is None
+                                else float(rec["est_ds_cert_unit_m"])),
+            est_dsts_cert_unit_m=(None if rec.get("est_dsts_cert_unit_m")
+                                  is None
+                                  else float(rec["est_dsts_cert_unit_m"])),
+            est_ts_parity_unit_m=(None if rec.get("est_ts_parity_unit_m")
+                                  is None
+                                  else float(rec["est_ts_parity_unit_m"])),
             certified=bool(rec.get("certified", True)),
             source=source)
     except (KeyError, TypeError, ValueError):
@@ -284,6 +322,14 @@ def _strong_oracle(xk, xi, fk, weighting, dimension, order=4):
     return x / (r[:, None].astype(np.float64) ** deg[None, :])
 
 
+#: headroom the certified edge keeps to the parity bar: the edge is the
+#: largest swept ca whose running worst-err envelope stays below
+#: tol / CERT_HEADROOM.  Mirrors the shipped v5e rows unit's derivation
+#: (edge ca=2e3 where the gate-check worst err was 1.81e-11 — 5.5x) and
+#: absorbs sweep-to-sweep scatter (the same protocol re-run with a fresh
+#: seed moved the ds-rows edge-2000 worst err to 3.8e-11, still sound).
+CERT_HEADROOM = 5.0
+
 #: margin applied to the worst measured per-case unit, mirroring the
 #: ~1.6x worst under-prediction seen in the v5e gate-soundness runs
 CERT_MARGIN = 1.6
@@ -302,8 +348,9 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
     Runs the fused kernel — ds and ts arithmetic, basis-rows AND
     moment assembly — on a 2D order-4 sweep over neighborhood radii and
     both weightings, compares every case against the long-double-refined
-    oracle, and fits the per-case envelope units
-    ``err_i <= unit * cond_i * amp_i`` (with :data:`CERT_MARGIN`).
+    oracle, and fits each variant's certification unit with the
+    edge-anchored rule (see ``cert`` below / the VERSION note) plus the
+    central batch-max units that drive sweep counts and regime splits.
     Persists the record when the cache dir is enabled
     (``WLSQM_TPU_COMPILE_CACHE``) and installs it for the process either
     way.  Takes ~2-4 min on a TPU chip (one kernel compile per
@@ -317,7 +364,9 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
     rng = np.random.default_rng(seed)
     K = 30
     cas = []
-    errs = {k: [] for k in ("ds_rows", "ts_rows", "ds_mom", "ts_mom")}
+    ests = []
+    errs = {k: [] for k in ("ds_rows", "ts_rows", "ds_mom", "dsts_mom",
+                            "ts_mom")}
     for weighting in (defs.WEIGHT_UNIFORM, defs.WEIGHT_CENTER):
         for radius in radii:
             xk, fk, xi = _problem(rng, batch, K, radius, 2)
@@ -329,22 +378,50 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
             for key, kw in (("ds_rows", dict(assembly="rows")),
                             ("ts_rows", dict(assembly="rows",
                                              precision="ts")),
-                            ("ds_mom", dict(assembly="moments")),
+                            ("ds_mom", dict(assembly="moments",
+                                            emit_cond=True)),
+                            ("dsts_mom", dict(assembly="moments",
+                                              precision="dsts")),
                             ("ts_mom", dict(assembly="moments",
                                             precision="ts"))):
-                fi = np.asarray(fit_pallas(
+                out = fit_pallas(
                     jnp.asarray(xk), jnp.asarray(fk), nk, jnp.asarray(xi),
-                    **kw, **com))
+                    **kw, **com)
+                if kw.get("emit_cond"):
+                    # the split-route envelopes calibrate against the
+                    # KERNEL-emitted key — the exact value the runtime
+                    # gate will compare against
+                    out, est = out
+                    ests.append(np.asarray(est))
+                fi = np.asarray(out)
                 errs[key].append(np.abs(fi - ref).max(-1) / scale)
             cond, amp = condprobe.probe(xk, nk, xi, 4, weighting,
                                         dimension=2, sample=batch)
             cas.append(cond * amp)
     ca = np.concatenate(cas)
+    est_all = np.concatenate(ests)
     nbatch = len(cas)
+    from wlsqm_tpu.fitter.condprobe import AUTO_TOL, SAFETY
 
     def cert(key):
+        """Edge-anchored certification unit (see VERSION note).
+
+        Find the largest swept ca below which every measured error keeps
+        :data:`CERT_HEADROOM` to the parity bar, then return the unit
+        that places the gate ``unit * ca * SAFETY <= tol`` exactly at
+        that edge.  Sound on the sweep by construction: every case the
+        gate would certify has measured err <= tol / CERT_HEADROOM.
+        (The shipped v5e rows unit 1.25e-14 = 1e-10 / (4 * 2e3) is this
+        fit on the original gate-check sweep.)
+        """
         e = np.concatenate(errs[key])
-        return max(float((e / ca).max()) * CERT_MARGIN, UNIT_FLOOR)
+        order_i = np.argsort(ca)
+        run = np.maximum.accumulate(e[order_i])
+        ok = run <= AUTO_TOL / CERT_HEADROOM
+        if not ok.any():
+            return AUTO_TOL / SAFETY  # edge ca=1: certifies nothing real
+        edge = float(ca[order_i][ok][-1])
+        return max(AUTO_TOL / (SAFETY * edge), UNIT_FLOOR)
 
     def central(key):
         # worst batch-max ratio (the ±4x SAFETY of the routing gate
@@ -355,6 +432,18 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
                                        np.array_split(ca, nbatch))),
                    UNIT_FLOOR)
 
+    def cert_est(key):
+        """Edge-anchored unit against the per-case Frobenius key
+        (:func:`condprobe.cond_key`) — the split route's gate."""
+        e = np.concatenate(errs[key])
+        order_i = np.argsort(est_all)
+        run = np.maximum.accumulate(e[order_i])
+        ok = run <= AUTO_TOL / CERT_HEADROOM
+        if not ok.any():
+            return AUTO_TOL / SAFETY
+        edge = float(est_all[order_i][ok][-1])
+        return max(AUTO_TOL / (SAFETY * edge), UNIT_FLOOR)
+
     cal = DeviceCalibration(
         ds_unit=central("ds_rows"), ds_cert_unit=cert("ds_rows"),
         ts_parity_unit=cert("ts_rows"),
@@ -362,6 +451,9 @@ def calibrate_device(*, batch: int = 1024, seed: int = 20260817,
         kernel_max_floor=_V5E["kernel_max_floor"],
         ds_unit_m=central("ds_mom"), ds_cert_unit_m=cert("ds_mom"),
         ts_parity_unit_m=cert("ts_mom"),
+        est_ds_cert_unit_m=cert_est("ds_mom"),
+        est_dsts_cert_unit_m=cert_est("dsts_mom"),
+        est_ts_parity_unit_m=cert_est("ts_mom"),
         certified=True, source="measured")
     kind = device_kind()
     _ACTIVE[kind] = cal

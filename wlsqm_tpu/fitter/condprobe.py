@@ -192,6 +192,91 @@ def _screened_idx(xk, nk, xi, order, dimension: int, sample: int):
 F32_UNIT = 6e-8
 
 
+def _cond_key_math(xk, nk, xi, *, dimension: int, order: int,
+                   knowns: int, weighting: int):
+    """Traced body of :func:`cond_key` (jnp arrays in, (B,) f64 out)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from wlsqm_tpu.fitter import engine
+
+    B, K, dim = xk.shape
+    NO = defs.number_of_dofs(dimension, order)
+    exp = jnp.asarray(tables.EXPONENTS[dimension][:NO])
+    invf = jnp.asarray(tables.INV_FACT[dimension][:NO], jnp.float32)
+
+    d = xk - xi[:, None, :]
+    kmask = jnp.arange(K)[None, :] < nk[:, None]
+    d = jnp.where(kmask[:, :, None], d, 0.0)
+    d2 = (d * d).sum(-1)
+    h2 = jnp.where(kmask, d2, 0.0).max(-1)
+    # the kernel's exact power-of-two radius prescale
+    e = jnp.ceil(0.5 * jnp.log2(jnp.where(h2 > 0, h2, 1.0)))
+    inv_s = jnp.exp2(-e)
+    t = (d * inv_s[:, None, None]).astype(jnp.float32)
+    C = invf * jnp.prod(t[:, :, None, :] ** exp[None, None, :, :], axis=-1)
+    if weighting == defs.WEIGHT_CENTER:
+        w = engine.WEIGHT_ALPHA + engine.WEIGHT_BETA * (
+            1.0 - jnp.sqrt(d2 / jnp.where(h2 > 0, h2, 1.0)[:, None])) ** 2
+    else:
+        w = jnp.ones_like(d2)
+    w = jnp.where(kmask, w, 0.0).astype(jnp.float32)
+    A = jnp.einsum("bki,bk,bkj->bij", C, w, C)
+    if knowns:
+        kn = np.array([(int(knowns) >> j) & 1 for j in range(NO)], bool)
+        act2 = jnp.asarray(~kn)[None, :, None] & jnp.asarray(~kn)[None, None, :]
+        A = jnp.where(act2, A, 0.0) + jnp.where(
+            jnp.asarray(~kn)[None, :, None], 0.0,
+            jnp.eye(NO, dtype=A.dtype)[None])
+    dg = lax.rsqrt(jnp.maximum(jnp.einsum("bii->bi", A), 1e-30))
+    As = A * dg[:, :, None] * dg[:, None, :]
+    L = lax.linalg.cholesky(As)
+    eye = jnp.broadcast_to(jnp.eye(NO, dtype=As.dtype), As.shape)
+    Y = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    Ai = lax.linalg.triangular_solve(L, Y, left_side=True, lower=True,
+                                     transpose_a=True)
+    ninf = jnp.abs(As).sum(-1).max(-1)
+    nFi = jnp.sqrt((Ai * Ai).sum((1, 2)))
+    amp = jnp.maximum(inv_s, 1.0) ** float(order)
+    return (ninf * nFi).astype(jnp.float64) * amp
+
+
+def cond_key(xk, nk, xi, *, dimension: int, order: int, knowns: int = 0,
+             weighting: int = defs.WEIGHT_UNIFORM):
+    """Reference implementation of the split-route certification key.
+
+    ``est_i = ||A_jac||_inf ||A_jac^{-1}||_F * amp_i  >=  cond_2(A_jac)
+    * amp_i`` of case i's Jacobi-scaled normal system (a true upper
+    bound of the spectral cond; measured slack on the calibration family
+    1.15-2.4x) — the same formula the fused kernel emits per case with
+    ``emit_cond=True`` (``ops/pallas_fit._cond_estimate``).  This XLA
+    version exists for tests and offline analysis; the HOT path always
+    takes the in-kernel value (batched small-matrix Cholesky/
+    triangular_solve in XLA measured ~80 ms per 32k chunk on TPU — two
+    orders of magnitude off the kernel's budget).  NaN for degenerate
+    geometry (safe: NaN compares False against any threshold, so such
+    cases never certify).
+
+    The split-route error envelopes are calibrated DIRECTLY against the
+    kernel-emitted key (``est_*`` units in
+    :mod:`wlsqm_tpu.fitter.calibration`), so the f32 arithmetic noise
+    and the bound's slack are part of the calibrated model, never an
+    unchecked assumption.
+    """
+    import jax
+
+    fn = jax.jit(_cond_key_math,
+                 static_argnames=("dimension", "order", "knowns",
+                                  "weighting"))
+    import jax.numpy as jnp
+
+    B, K, _ = np.shape(xk)
+    nk_a = (jnp.full((B,), K, jnp.int32) if nk is None
+            else jnp.asarray(nk, jnp.int32))
+    return fn(jnp.asarray(xk), nk_a, jnp.asarray(xi), dimension=dimension,
+              order=int(order), knowns=int(knowns), weighting=int(weighting))
+
+
 def _cond_amp(xk, nk, xi, order, weighting, *, dimension: int,
               knowns: int = 0, sample: int = SAMPLE):
     """Per-sampled-case (cond2(A_jacobi), inv_s**order) arrays.
@@ -445,6 +530,55 @@ def pick_refine_steps(xk, nk, xi, order, weighting, *, dimension: int,
         probe(xk, nk, xi, order, weighting, dimension=dimension,
               knowns=knowns, sample=sample),
         tol=tol, candidates=candidates)
+
+
+def split_partition_choice(tol: float = AUTO_TOL):
+    """Fastest certified split-partition variant, or None.
+
+    Returns ``(kernel_precision, est_edge)`` — the moment-kernel
+    arithmetic for the certified partition ("dsts" when its calibrated
+    est-envelope is deeper, else "ds") and the per-case key threshold
+    ``est <= est_edge`` below which that variant's error is certified
+    under ``tol``.  None when the device record carries no est-envelope
+    calibration (split route disabled).
+    """
+    u = _units()
+    if not u.certified:
+        return None
+    ds_edge = (tol / (SAFETY * u.est_ds_cert_unit_m)
+               if u.est_ds_cert_unit_m else None)
+    dsts_edge = (tol / (SAFETY * u.est_dsts_cert_unit_m)
+                 if u.est_dsts_cert_unit_m else None)
+    if dsts_edge and (ds_edge is None
+                      or dsts_edge >= ds_edge * SPLIT_DSTS_MIN_GAIN):
+        return ("dsts", dsts_edge)
+    if ds_edge:
+        return ("ds", ds_edge)
+    return None
+
+
+#: the dsts partition costs ~one extra ds sweep; prefer it over plain ds
+#: only when its certified edge is at least this much farther out
+SPLIT_DSTS_MIN_GAIN = 1.3
+
+
+def pick_steps_at_edge(ca_edge: float, tol: float = AUTO_TOL,
+                       candidates=(2, 3, 4),
+                       assembly: str = "moments") -> int:
+    """Cheapest sweep count converged for every case under ``ca_edge``.
+
+    The split route's fast partition admits cases up to its certified
+    edge; evaluating the two-regime convergence model AT the edge bounds
+    every admitted case (cond*amp <= edge, and rate uses cond <= edge —
+    conservative since amp >= 1 is folded into the edge).
+    """
+    ds_unit, _, _ = _units().units_for(assembly)
+    rate = F32_UNIT * ca_edge
+    for n in candidates:
+        pred = max(ds_unit * ca_edge, rate ** (n + 1))
+        if pred * PICK_SAFETY <= tol:
+            return n
+    return candidates[-1]
 
 
 def pick_from(cond_amp, tol: float = AUTO_TOL, candidates=(2, 3, 4),

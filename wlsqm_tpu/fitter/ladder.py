@@ -125,9 +125,15 @@ class Route:
     """A hashable execution-path decision for one batch or bucket.
 
     path: "kernel" (fused kernel, in ``kernel_precision`` arithmetic —
-    "ds" pairs or "ts" triples) or "xla" (the engine at ``precision``,
-    with ``mixed_steps`` refinement sweeps for the fast/mixed
-    precisions).
+    "ds" pairs, "dsts" pair-store + triple sweeps, or "ts" triples),
+    "kernel-split" (per-case certified split: the moment kernel in
+    ``kernel_precision`` with its per-case ``emit_cond`` key on ALL
+    cases, then the ts kernel re-solving the cases whose key exceeds
+    ``split_edge`` — up to a ``tail_frac`` window of them, gathered/
+    scattered with static shapes so the route traces under
+    jit/scan/shard_map),
+    or "xla" (the engine at ``precision``, with ``mixed_steps``
+    refinement sweeps for the fast/mixed precisions).
     """
 
     path: str
@@ -136,6 +142,30 @@ class Route:
     mixed_steps: int | None = None    # adaptive fast/mixed sweeps
     kernel_precision: str = "ds"      # kernel arithmetic (kernel path)
     assembly: str = "rows"            # kernel assembly (rows | moments)
+    split_edge: float | None = None   # per-case est gate (kernel-split)
+    #: ts-tail window as a fraction of the batch (margin included), so
+    #: the static window scales with the traced batch size — e.g. the
+    #: per-shard slice under shard_map or a stream's chunk
+    tail_frac: float = 0.0
+    tail_refine_steps: int | None = None  # ts sweeps for the tail
+
+
+#: the split route engages only when at least this fraction of the
+#: planning batch certifies for the fast partition — below it, the
+#: batch-level ts rung is simpler and nearly as fast
+SPLIT_MIN_FRAC = 0.5
+
+#: static tail-window slack over the planning batch's measured tail
+#: fraction: replayed chunks whose tail outgrows the window leave the
+#: overflow on the (uncertified) fast-partition result — the same
+#: plan-representativeness contract FitPlan replay already carries
+TAIL_MARGIN = 1.6
+
+#: median measured slack of the per-case key over the exact spectral
+#: cond (run_r5_calsweep.py: 1.12-2.39, med 1.51) — used only as a perf
+#: heuristic to predict the certified fraction from the sampled probe
+#: before paying for the key; never in a certification decision
+EST_OVER_COND_MED = 1.5
 
 
 def _sweeps(rate: float) -> int:
@@ -163,10 +193,11 @@ def choose(cond_amp, *, tol: float = condprobe.AUTO_TOL,
     arithmetic (basic algorithm, packed-pair VMEM fits —
     ``pallas_fit.moment_vmem_ok`` at 2 / 3 planes; ``ts_moments_ok``
     defaults to ``moments_ok``).  Moment assembly is the fastest kernel
-    body (measured +12% ds / +11% ts on v5e, round 4) but its error
-    envelope is ~30x looser (odd-moment cancellation; calibration.py),
-    so each assembly certifies against its OWN units and the fastest
-    certified one wins.
+    body (measured +12% ds / +11% ts on v5e, round 4); since the round-5
+    accumulation re-sweep its ds envelope sits within ~1.3x of rows and
+    its ts output is bit-identical to rows (calibration.py), so the
+    moment rungs now serve most certified batches.  Each assembly still
+    certifies against its OWN units and the fastest certified one wins.
     """
     if ts_kernel_ok is None:
         ts_kernel_ok = kernel_ok

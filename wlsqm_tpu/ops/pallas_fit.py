@@ -83,8 +83,15 @@ DS_REFINE_STEPS = 4
 # the ts floor sits ~2^-12 below ds, so the sweeps must contract further
 TS_REFINE_STEPS = 6
 
-#: number system per kernel precision: (module, planes, default sweeps)
-_NS = {"ds": (tf, 2, DS_REFINE_STEPS), "ts": (tf3, 3, TS_REFINE_STEPS)}
+#: number system per kernel precision: (module, planes, default sweeps).
+#: "dsts" (moment body only) keeps the double-single STORE — 2-plane
+#: inputs, moment chain, packed A/b, outputs, same VMEM as ds — but runs
+#: the refinement sweeps in triple-single arithmetic, so the converged
+#: fixed point drops to the pair-REPRESENTATION floor of the stored
+#: system instead of the pair-sweep rounding floor (~cost of one extra
+#: ds sweep; see _make_kernel_moment).
+_NS = {"ds": (tf, 2, DS_REFINE_STEPS), "ts": (tf3, 3, TS_REFINE_STEPS),
+       "dsts": (tf, 2, DS_REFINE_STEPS + 1)}
 
 __all__ = ["fit_pallas", "fit_pallas_diffable", "fit_pallas_jit", "supported"]
 
@@ -330,11 +337,76 @@ def moment_auto_ok(dimension: int, order: int, K: int,
             <= MOMENT_AUTO_NM)
 
 
+def _cond_estimate(Asc, L, NO, zero):
+    """Per-case conditioning estimate of the Jacobi-scaled system.
+
+    ``||A||_inf * ||A^{-1}||_F  >=  ||A||_2 * ||A^{-1}||_2  =  cond_2(A)``
+    (symmetric A: ``||A||_2 <= ||A||_inf``; ``||.||_2 <= ||.||_F``),
+    computed from the f32 Cholesky factor already in registers — one
+    unrolled forward+backward substitution per unit column, ~NO^3/3
+    vector ops that slot into the Cholesky/refinement dependency
+    bubbles.  Measured slack vs exact cond_2 on the calibration family:
+    1.15-2.4x — the tightest of the factor-reusing bounds (the
+    ``||A||_F * ||L^{-1}||_F^2`` variant spreads 1.4-6.8x, which costs
+    certified-fraction in the split route).  The f32 noise and the
+    bound's slack are absorbed by calibrating the split-route error
+    envelopes directly against THIS estimate
+    (fitter/calibration.py ``est_*`` fields), never against exact cond_2.
+    """
+    # ||A||_inf: max absolute row sum over the full symmetric matrix
+    rows = [zero] * NO
+    for j in range(NO):
+        for m in range(j, NO):
+            v = jnp.abs(Asc[j][m])
+            rows[j] = rows[j] + v
+            if m != j:
+                rows[m] = rows[m] + v
+    ninf = rows[0]
+    for j in range(1, NO):
+        ninf = jnp.maximum(ninf, rows[j])
+    # ||A^{-1}||_F^2 = sum_i ||A^{-1} e_i||^2, columns via L L^T solves;
+    # symmetry halves the work: column i contributes rows >= i twice
+    nFi2 = zero
+    one = jnp.ones_like(zero)
+    for i in range(NO):
+        y = [None] * NO
+        for r in range(i, NO):
+            t = one if r == i else zero
+            for kk in range(i, r):
+                t = t - L[r][kk] * y[kk]
+            y[r] = t / L[r][r]
+        x = [None] * NO
+        for r in range(NO - 1, i - 1, -1):
+            t = y[r]
+            for kk in range(r + 1, NO):
+                t = t - L[kk][r] * x[kk]
+            x[r] = t / L[r][r]
+            x2 = x[r] * x[r]
+            nFi2 = nFi2 + (x2 if r == i else x2 + x2)
+    return ninf * jnp.sqrt(nFi2)
+
+
 def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
                         refine_steps: int, knowns: int, precision: str,
-                        tile_s: int = TILE_S):
-    """Moment-assembly kernel: basic algorithm only (no sens/iterative)."""
+                        tile_s: int = TILE_S, emit_cond: bool = False):
+    """Moment-assembly kernel: basic algorithm only (no sens/iterative).
+
+    ``emit_cond`` appends a per-case f32 output estimating the scaled
+    system's conditioning, ``cond_F >= cond_2(A_jacobi)`` via
+    ``||A||_F * ||L^-1||_F^2`` from the f32 Cholesky factor the kernel
+    already holds — the per-case certification key of the split route
+    (fitter/condprobe.py SPLIT_* units; computed for EVERY case, closing
+    the sampled probe's coverage hole).
+
+    ``precision="dsts"`` keeps the 2-plane (double-single) store and
+    assembly but promotes the refinement sweeps to triple-single
+    arithmetic, converging to the stored system's pair-representation
+    floor instead of the pair-sweep rounding floor — measured ~4-6x
+    deeper error envelope at ~one extra ds sweep's cost.
+    """
     ns, NPL, _ = _NS[precision]
+    sweep_ts = precision == "dsts"
+    NPX = 3 if sweep_ts else NPL     # solution-state planes in the sweep
     NO = defs.number_of_dofs(dimension, order)
     deg = tables.DEGREE[dimension][:NO]
     exp, dof_chain = _dof_chain(dimension, order)
@@ -370,6 +442,9 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
         if KN:
             gi_refs, rest = take(rest, NPL)
         x_refs, rest = take(rest, NPL)        # DOF outputs
+        cond_ref = None
+        if emit_cond:
+            (cond_ref,), rest = take(rest, 1)
         M_refs, rest = take(rest, NPL)        # moment planes (scratch)
         A_refs, rest = take(rest, NPL)        # packed scaled pair A
         b_refs, rest = take(rest, NPL)        # RHS planes
@@ -441,8 +516,10 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
             # A-moment chain rooted at w: one extended multiply per moment.
             # Accumulation uses the FULL renormalized add: the relaxed
             # twofloat.acc lets |lo| grow to ~K ulp(hi), whose f32
-            # rounding inflated the calibrated per-case envelope ~30x
-            # (measured 3.9e-13 vs the rows kernel's 1.25e-14 cert unit)
+            # rounding inflated the round-4 calibrated envelope ~30x
+            # (3.9e-13 vs rows' 1.25e-14); with full renorm the round-5
+            # re-sweep puts moments-ds within ~1.3x of rows and makes
+            # ts-moments bit-identical to ts-rows (r5_probe.json)
             vals = [None] * NM
             vals[0] = w
             for i in range(NM):
@@ -525,6 +602,9 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
                     t = t - L[i][kk] * L[j][kk]
                 L[i][j] = t * invd
 
+        if emit_cond:
+            cond_ref[...] = _cond_estimate(Asc, L, NO, zero)
+
         def chol_solve(rhs):
             y = [None] * NO
             for i in range(NO):
@@ -549,34 +629,43 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
         # sweep instead of the rows path's two K x NO basis passes.  The
         # diagonal scalings ride as exact pair x f32 products on the
         # vectors, never on the stored matrix.
+        sw = tf3 if sweep_ts else ns     # sweep arithmetic
+
+        def pro(v):
+            """Promote a stored value to the sweep's plane count."""
+            return tuple(v) + (zero,) * (NPX - len(v))
+
+        def zpadx():
+            return (zero,) * NPX
+
         def refine(_, ys):
-            ys_p = [tuple(ys[p][j] for p in range(NPL)) for j in range(NO)]
-            sx = [zpad(()) if j in kn_slot else ns.mul_f32(ys_p[j], s[j])
+            ys_p = [tuple(ys[p][j] for p in range(NPX)) for j in range(NO)]
+            sx = [zpadx() if j in kn_slot else sw.mul_f32(ys_p[j], s[j])
                   for j in range(NO)]
             # full renormalized adds: the relaxed mul_add's lo growth sets
             # the converged fixed point ~1e-13*cond (see the assembly note)
-            acc_ = {j: zpad(()) for j in UN}
+            acc_ = {j: zpadx() for j in UN}
             for (j, mcol), t in tri.items():
-                a = tuple(A_refs[p][t] for p in range(NPL))
-                acc_[j] = ns.add(acc_[j], ns.mul(a, sx[mcol]))
+                a = pro(tuple(A_refs[p][t] for p in range(NPL)))
+                acc_[j] = sw.add(acc_[j], sw.mul(a, sx[mcol]))
                 if mcol != j:
-                    acc_[mcol] = ns.add(acc_[mcol], ns.mul(a, sx[j]))
+                    acc_[mcol] = sw.add(acc_[mcol], sw.mul(a, sx[j]))
             out = []
             rh = []
             for j in range(NO):
                 if j in kn_slot:
                     rh.append(zero)
                     continue
-                rh.append(ns.sub(bs[j], acc_[j])[0] * s[j])
+                rh.append(sw.sub(pro(bs[j]), acc_[j])[0] * s[j])
             dy = chol_solve(rh)
             for j in range(NO):
                 if j in kn_slot:
                     out.append(ys_p[j])
                 else:
-                    out.append(ns.add_f32(ys_p[j], dy[j]))
-            return tuple([o[p] for o in out] for p in range(NPL))
+                    out.append(sw.add_f32(ys_p[j], dy[j]))
+            return tuple([o[p] for o in out] for p in range(NPX))
 
-        ys = ((y0,) + tuple([zero] * NO for _ in range(NPL - 1)))
+        ys = ((y0,) + tuple([zero] * NO for _ in range(NPX - 1)))
         ys = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps),
                            refine, ys)
 
@@ -585,7 +674,11 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
             if j in kn_slot:
                 v = at(gi_refs, kn_slot[j])
             else:
-                v = ns.mul_f32(tuple(ys[p][j] for p in range(NPL)), s[j])
+                v = sw.mul_f32(tuple(ys[p][j] for p in range(NPX)), s[j])
+                if NPX > NPL:
+                    # collapse the sweep triple to the stored pair: the
+                    # dropped bits sit below the pair-representation floor
+                    v = tf.renorm((v[0], v[1] + v[2]))
             for p in range(NPL):
                 x_refs[p][j] = v[p]
 
@@ -595,7 +688,7 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
 def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                  refine_steps: int, store_basis: bool, do_sens: bool,
                  max_iter: int, knowns: int, precision: str,
-                 tile_s: int = TILE_S):
+                 tile_s: int = TILE_S, emit_cond: bool = False):
     ns, NPL, _ = _NS[precision]
     NO = defs.number_of_dofs(dimension, order)
     exp = tables.EXPONENTS[dimension][:NO]
@@ -633,6 +726,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
             (itr_ref,), rest = take(rest, 1)
         if do_sens:
             s_refs, rest = take(rest, NPL)
+        cond_ref = None
+        if emit_cond:
+            (cond_ref,), rest = take(rest, 1)
         (A_ref,), rest = take(rest, 1)
         b_refs, rest = take(rest, NPL)
         w_refs, rest = take(rest, NPL)
@@ -754,6 +850,9 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
                 for kk in range(j):
                     t = t - L[i][kk] * L[j][kk]
                 L[i][j] = t * invd
+
+        if emit_cond:
+            cond_ref[...] = _cond_estimate(Asc, L, NO, zero)
 
         def chol_solve(rhs):
             """Unrolled f32 solve of (scaled A) x = rhs; rhs list of tiles."""
@@ -1000,12 +1099,13 @@ def _make_kernel(dimension: int, order: int, K: int, weighting: int,
 @partial(jax.jit, static_argnames=("dimension", "order", "weighting",
                                    "refine_steps", "interpret", "do_sens",
                                    "max_iter", "knowns", "precision",
-                                   "tile_s", "assembly"))
+                                   "tile_s", "assembly", "emit_cond"))
 def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
                weighting: int, refine_steps: int | None = None,
                interpret: bool = False, do_sens: bool = False,
                max_iter: int = 0, knowns: int = 0, precision: str = "ds",
-               tile_s: int | None = None, assembly: str = "auto"):
+               tile_s: int | None = None, assembly: str = "auto",
+               emit_cond: bool = False):
     """Fused-kernel fit of a homogeneous batch (see module docstring).
 
     xk (B, K, dim) f64 | fk (B, K) f64 | nk (B,) | xi (B, dim) f64.
@@ -1022,8 +1122,12 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     never crosses lanes); B must divide by ``tile_s * 128``.
     assembly: "auto" (default — the moment path for basic fits when its
     VMEM state fits, basis rows otherwise), "moments", or "rows".
-    Returns fi (B, NO) f64, with iters (B,) i32 appended when max_iter > 0
-    and sens (B, K, NO) f64 appended when do_sens — in that order.
+    Returns fi (B, NO) f64, with iters (B,) i32 appended when max_iter > 0,
+    sens (B, K, NO) f64 appended when do_sens, and — when ``emit_cond``
+    — a per-case (B,) f64 conditioning-estimate key ``est >= cond_2
+    (A_jacobi) * amp`` appended last (see :func:`_cond_estimate`; the
+    radius de-scale amplification ``amp`` is folded in here so the key
+    feeds the split-route certification gates directly).
     """
     ns, NPL, default_steps = _NS[precision]
     if refine_steps is None:
@@ -1047,15 +1151,20 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     if use_moments and (do_sens or max_iter):
         raise ValueError("assembly='moments' covers the basic algorithm "
                          "only (no sensitivities / ALGO_ITERATIVE)")
+    if precision == "dsts" and not use_moments:
+        raise ValueError("precision='dsts' (pair store + triple-single "
+                         "sweeps) is a moment-assembly variant; pass "
+                         "assembly='moments' or a moment-eligible config")
     store_basis = _store_basis(dimension, order, K, do_sens, NPL, ts_)
     if use_moments:
         kernel, NO, deg, NM, NTRI = _make_kernel_moment(
             dimension, order, K, weighting, refine_steps, knowns,
-            precision, ts_)
+            precision, ts_, emit_cond)
     else:
         kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
                                        refine_steps, store_basis, do_sens,
-                                       max_iter, knowns, precision, ts_)
+                                       max_iter, knowns, precision, ts_,
+                                       emit_cond)
     KN = [j for j in range(NO) if (knowns >> j) & 1]
 
     # host-side (XLA) preprocessing: plane split + tile layout
@@ -1142,6 +1251,11 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
         out_specs += [
             pl.BlockSpec((None, K, NO, ts_, TILE_L),
                          lambda i: (i, z, z, z, z)) for _ in range(NPL)]
+    if emit_cond:
+        out_shape += [
+            jax.ShapeDtypeStruct((nblk, ts_, TILE_L), jnp.float32)]
+        out_specs += [
+            pl.BlockSpec((None, ts_, TILE_L), lambda i: (i, z, z))]
     out_shape = tuple(out_shape)
     out_specs = tuple(out_specs)
     if use_moments:
@@ -1202,6 +1316,13 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
             # NaN for known DOFs (reference: wlsqm/fitter/impl.pyx:775-779)
             sens = sens.at[:, :, jnp.asarray(KN)].set(jnp.nan)
         res.append(sens)
+        nxt += NPL
+    if emit_cond:
+        # certification key: in-kernel cond_F-style estimate x the exact
+        # radius de-scale amplification (matches condprobe's amp factor)
+        amp = jnp.maximum(inv_s.astype(jnp.float64), 1.0) ** float(order)
+        est = from_tiles(outs[nxt]).astype(jnp.float64) * amp
+        res.append(est)
     return res[0] if len(res) == 1 else tuple(res)
 
 
@@ -1214,7 +1335,7 @@ _JIT_CACHE = {}
 
 _STATIC = ("dimension", "order", "weighting", "refine_steps", "interpret",
            "do_sens", "max_iter", "knowns", "precision", "tile_s",
-           "assembly")
+           "assembly", "emit_cond")
 
 
 def fit_pallas_jit(*args, **kwargs):

@@ -43,9 +43,15 @@ def main():
     rows = []
     dim3 = "--3d" in sys.argv
     if dim3:
-        # 3D order-4 (NO=35, K=64): the gates must hold beyond the 2D
-        # calibration family
-        configs = [(3, 64, w, r)
+        # 3D order-4 (NO=35): the gates must hold beyond the 2D
+        # calibration family.  Both K exercise the round-5 staged moment
+        # body alongside rows; the round-5 sweep measured the
+        # 2D-calibrated moments-ds gate UNSOUND here (8 violations,
+        # worst 2.24x), which is why certified routing gates on
+        # moment_cert_ok (dim <= 2) while moment_auto_ok still serves
+        # the forced/uncertified kernel
+        configs = [(3, K, w, r)
+                   for K in (64, 48)
                    for w in (defs.WEIGHT_UNIFORM, defs.WEIGHT_CENTER)
                    for r in (0.1, 0.3, 0.6, 1.0)]
     else:
@@ -63,11 +69,15 @@ def main():
         nk = jnp.full((B,), K, jnp.int32)
         com = dict(dimension=dim, order=4, weighting=weighting)
         # every routed (assembly, arithmetic) variant, each gated by its
-        # OWN calibrated units (fitter/calibration.py, round 4); the big
-        # 3D lattice keeps the rows body (MOMENT_AUTO_NM)
+        # OWN calibrated units (fitter/calibration.py, round 4); moment
+        # variants exactly where auto routing can pick them
+        from wlsqm_tpu.ops import pallas_fit
+
         variants = [("rows", "ds"), ("rows", "ts")]
-        if not dim3:
-            variants += [("moments", "ds"), ("moments", "ts")]
+        if pallas_fit.moment_auto_ok(dim, 4, K):
+            variants += [("moments", "ds")]
+        if pallas_fit.moment_auto_ok(dim, 4, K, nplanes=3):
+            variants += [("moments", "ts")]
         errs = {}
         for asm, prec in variants:
             fi = np.asarray(fit_pallas(
@@ -81,22 +91,25 @@ def main():
         rows.append((cai, {k: np.abs(v - ref).max(-1) / scale
                            for k, v in errs.items()}))
     cai = np.concatenate([r[0] for r in rows])
-    variants = list(rows[0][1])
-    errall = {k: np.concatenate([r[1][k] for r in rows]) for k in variants}
+    # per-config variant sets may differ (K-dependent VMEM eligibility):
+    # evaluate each variant over exactly the configs that ran it
+    variants = sorted({k for r in rows for k in r[1]})
     units = condprobe._units()
     for asm, prec in variants:
         du, dcert, tsu = units.units_for(asm)
         unit = dcert if prec == "ds" else tsu
-        err = errall[(asm, prec)]
-        cert = unit * cai * condprobe.SAFETY <= TOL
+        sub = [r for r in rows if (asm, prec) in r[1]]
+        cai_v = np.concatenate([r[0] for r in sub])
+        err = np.concatenate([r[1][(asm, prec)] for r in sub])
+        cert = unit * cai_v * condprobe.SAFETY <= TOL
         viol = cert & (err > TOL)
         worst = err[cert].max() if cert.any() else 0.0
-        print(f"{asm}/{prec}: certified {cert.sum()}/{len(cai)}  "
+        print(f"{asm}/{prec}: certified {cert.sum()}/{len(cai_v)}  "
               f"worst certified err {worst:.3g}  violations {viol.sum()}"
               + (f"  worst ratio {(err[viol]/TOL).max():.2f}x"
                  if viol.any() else ""), flush=True)
-    e_ds = errall[("rows", "ds")]
-    e_ts = errall[("rows", "ts")]
+    e_ds = np.concatenate([r[1][("rows", "ds")] for r in rows])
+    e_ts = np.concatenate([r[1][("rows", "ts")] for r in rows])
     fine(cai, e_ds, e_ts)
     # headroom curves: worst err among cases with ca <= threshold
     print("\nca_max_allowed -> worst ds err | worst ts err (empirical)",

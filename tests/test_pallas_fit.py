@@ -427,18 +427,109 @@ def test_moment_assembly_knowns(rng):
 
 
 def test_moment_auto_routing():
-    """assembly='auto' picks moments for basic fits (VMEM permitting) and
-    rows whenever sens/iterative are requested; 'moments' with those
-    raises."""
+    """assembly='auto' picks moments for basic and iterative fits (VMEM
+    permitting) and rows whenever sensitivities are requested; 'moments'
+    with do_sens raises (sens needs per-(k, j) basis rows)."""
     from wlsqm_tpu.ops import pallas_fit
 
     assert pallas_fit.moment_vmem_ok(2, 4, 30)
     assert pallas_fit.moment_vmem_ok(3, 4, 48)  # packed store fits NO=35
-    with pytest.raises(ValueError, match="basic algorithm"):
+    with pytest.raises(ValueError, match="sensitivities"):
         fit_pallas(jnp.zeros((TILE, 8, 2)), jnp.zeros((TILE, 8)),
                    jnp.full((TILE,), 8, jnp.int32), jnp.zeros((TILE, 2)),
                    dimension=2, order=2, weighting=defs.WEIGHT_UNIFORM,
                    do_sens=True, assembly="moments", interpret=True)
+    # the dsts precision variant stays basic-only
+    with pytest.raises(ValueError, match="basic algorithm"):
+        fit_pallas(jnp.zeros((TILE, 8, 2)), jnp.zeros((TILE, 8)),
+                   jnp.full((TILE,), 8, jnp.int32), jnp.zeros((TILE, 2)),
+                   dimension=2, order=2, weighting=defs.WEIGHT_UNIFORM,
+                   max_iter=3, precision="dsts", assembly="moments",
+                   interpret=True)
+
+
+def test_moment_gates():
+    """Round-5 gate split: moment_auto_ok covers 3D order-4 (staged
+    kernel, VMEM permitting) for forced/uncertified use, while
+    moment_cert_ok keeps CERTIFIED routing on the swept 1D/2D family
+    (the 3D moments-ds gate measured unsound — run_gate_check --3d)."""
+    from wlsqm_tpu.ops import pallas_fit
+
+    assert pallas_fit.moment_auto_ok(3, 4, 48)       # staged body
+    assert pallas_fit.moment_auto_ok(3, 4, 64)       # still within VMEM
+    assert not pallas_fit.moment_auto_ok(3, 4, 128)  # VMEM-excluded
+    assert pallas_fit._moment_staged(3, 4)
+    assert not pallas_fit._moment_staged(2, 4)
+    assert pallas_fit.moment_cert_ok(2, 4, 30)
+    assert not pallas_fit.moment_cert_ok(3, 4, 48)   # outside the family
+
+
+@pytest.mark.full
+def test_moment_iterative(rng):
+    """ALGO_ITERATIVE on the moment body: the corrective refit is one
+    packed-A refinement step (the normal-equations residual b - A x
+    equals the projected data residual sum_k w r_k c_k algebraically);
+    DOFs match the engine's iterative path and the rows kernel.
+    Reference semantics: wlsqm/fitter/impl.pyx:986-1083."""
+    xk, fk, nk, xi = _problem(rng, QB, K=14)
+    com = dict(dimension=2, order=2, weighting=defs.WEIGHT_UNIFORM,
+               interpret=True, tile_s=QTS, max_iter=4)
+    fi_m, it_m = fit_pallas(xk, fk, nk, xi, assembly="moments", **com)
+    NO = 6
+    f64, _, _, _ = engine.fit_batch(
+        xk, fk, nk, xi, jnp.zeros((QB, NO)),
+        jnp.full((QB,), 2, jnp.int32), jnp.zeros((QB,), jnp.int64),
+        jnp.full((QB,), defs.WEIGHT_UNIFORM, jnp.int32),
+        dimension=2, NO=NO, iterative=True, max_iter=4)
+    rel = np.abs(np.asarray(fi_m) - np.asarray(f64)).max() \
+        / np.abs(np.asarray(f64)).max()
+    assert rel < 5e-6, f"rel={rel:.2e}"
+    it = np.asarray(it_m)
+    assert it.min() >= 1 and it.max() <= 4
+    # counts share the rows kernel's stagnation rule but round the norm
+    # through a different evaluation order, so individual cases can
+    # stagnate a step apart (the documented count-divergence class,
+    # docs/porting.md; under CPU interpret the pair arithmetic is
+    # additionally canary-degraded).  DOFs are the contract:
+    fi_r, it_r = fit_pallas(xk, fk, nk, xi, assembly="rows", **com)
+    assert np.asarray(it_r).min() >= 1 and np.asarray(it_r).max() <= 4
+    rel_rm = (np.abs(np.asarray(fi_m) - np.asarray(fi_r)).max()
+              / np.abs(np.asarray(fi_r)).max())
+    assert rel_rm < 5e-6, f"rel={rel_rm:.2e}"
+
+
+@pytest.mark.full
+def test_moment_iterative_knowns(rng):
+    """Iterative moments with a knowns bitmask: prescribed DOFs pass
+    through bit-exactly and never receive corrections."""
+    B, K = QB, 16
+    knowns = int(defs.b2_F)
+    xi = rng.uniform(-1, 1, (B, 2))
+    xk = xi[:, None, :] + rng.uniform(-0.4, 0.4, (B, K, 2))
+    fk = np.sin(xk[..., 0]) * np.cos(xk[..., 1])
+    NO = wt.number_of_dofs(2, 2)
+    gi = np.zeros((B, NO))
+    gi[:, defs.i2_F] = np.sin(xi[:, 0]) * np.cos(xi[:, 1])
+    args = (jnp.asarray(xk), jnp.asarray(fk),
+            jnp.full((B,), K, jnp.int32), jnp.asarray(xi),
+            jnp.asarray(gi))
+    com = dict(dimension=2, order=2, weighting=defs.WEIGHT_CENTER,
+               knowns=knowns, interpret=True, tile_s=QTS, max_iter=3)
+    fi_m, _ = fit_pallas(*args, assembly="moments", **com)
+    fi_m = np.asarray(fi_m)
+    np.testing.assert_array_equal(fi_m[:, defs.i2_F], gi[:, defs.i2_F])
+    f64, _, _, _ = engine.fit_batch(
+        jnp.asarray(xk), jnp.asarray(fk), jnp.full((B,), K, jnp.int32),
+        jnp.asarray(xi), jnp.asarray(gi),
+        jnp.full((B,), 2, jnp.int32),
+        jnp.full((B,), knowns, jnp.int64),
+        jnp.full((B,), defs.WEIGHT_CENTER, jnp.int32),
+        dimension=2, NO=NO, iterative=True, max_iter=3)
+    un = [j for j in range(NO) if not (knowns >> j) & 1]
+    f64 = np.asarray(f64)
+    rel = (np.abs(fi_m[:, un] - f64[:, un]).max()
+           / np.abs(f64[:, un]).max())
+    assert rel < 5e-6, f"rel={rel:.2e}"
 
 
 @pytest.mark.full

@@ -250,7 +250,7 @@ def _maybe_split_route(route, xk, nk, xi, *, dim, K, o, kn, wm,
     from wlsqm_tpu.ops import pallas_fit
 
     if (route.path != "kernel" or route.kernel_precision != "ts"
-            or not basic or not pallas_fit.moment_auto_ok(dim, o, K)):
+            or not basic or not pallas_fit.moment_cert_ok(dim, o, K)):
         return route
     choice = condprobe.split_partition_choice()
     if choice is None:
@@ -659,13 +659,16 @@ def _auto_dispatch(xk, fk, nk, xi, fi_init, *, dim, B, K, NO, order_a,
         cond_amp = condprobe.probe(xk_g, nk_g, xi_g, o, wm,
                                    dimension=dim, knowns=kn)
         basic = not (do_sens or iterative)
+        # round 5: the moment body also covers ALGO_ITERATIVE (its
+        # corrective refit is one packed-A refinement step); only
+        # sensitivities still need the rows body
         route = ladder.choose(
             cond_amp, kernel_ok=True,
             ts_kernel_ok=pallas_fit.supported(dim, o, kn, wm, K=K,
                                               do_sens=do_sens,
                                               precision="ts"),
-            moments_ok=basic and pallas_fit.moment_auto_ok(dim, o, K),
-            ts_moments_ok=basic and pallas_fit.moment_auto_ok(
+            moments_ok=not do_sens and pallas_fit.moment_cert_ok(dim, o, K),
+            ts_moments_ok=not do_sens and pallas_fit.moment_cert_ok(
                 dim, o, K, nplanes=3))
         if route.path != "kernel":
             continue  # engine rungs handle it in the merged leftover call
@@ -677,7 +680,7 @@ def _auto_dispatch(xk, fk, nk, xi, fi_init, *, dim, B, K, NO, order_a,
         split = None
         if (basic and refine_steps is None
                 and route.kernel_precision == "ts"
-                and pallas_fit.moment_auto_ok(dim, o, K)):
+                and pallas_fit.moment_cert_ok(dim, o, K)):
             choice = condprobe.split_partition_choice()
             if choice is not None and cond_amp is not None:
                 prec, edge = choice
@@ -819,10 +822,10 @@ def plan_fit_many(
         ds_xla_ok=engine_ds.ds_backend_ok(),
         ts_kernel_ok=kernel_ok and pallas_fit.supported(
             dim, o, kn, wm, K=K, do_sens=do_sens, precision="ts"),
-        moments_ok=(kernel_ok and basic
-                    and pallas_fit.moment_auto_ok(dim, o, K)),
-        ts_moments_ok=(kernel_ok and basic
-                       and pallas_fit.moment_auto_ok(dim, o, K,
+        moments_ok=(kernel_ok and not do_sens
+                    and pallas_fit.moment_cert_ok(dim, o, K)),
+        ts_moments_ok=(kernel_ok and not do_sens
+                       and pallas_fit.moment_cert_ok(dim, o, K,
                                                      nplanes=3)))
     if refine_steps is not None and route.path == "kernel":
         route = dataclasses.replace(route, refine_steps=refine_steps)
@@ -1176,13 +1179,12 @@ def _fit_stream_sharded_hetero(mesh, xk, fk, xi_np, nk_np, per_case, *,
                 cond_amp = condprobe.probe(
                     cxk[sel], cnk[sel], cxi[sel], o, wm,
                     dimension=dim, knowns=kn)
-                basic = not iterative
                 route = ladder.choose(
                     cond_amp, kernel_ok=True,
                     ts_kernel_ok=pallas_fit.supported(
                         dim, o, kn, wm, K=K, do_sens=False, precision="ts"),
-                    moments_ok=basic and pallas_fit.moment_auto_ok(dim, o, K),
-                    ts_moments_ok=basic and pallas_fit.moment_auto_ok(
+                    moments_ok=pallas_fit.moment_cert_ok(dim, o, K),
+                    ts_moments_ok=pallas_fit.moment_cert_ok(
                         dim, o, K, nplanes=3))
                 if route.path != "kernel":
                     continue

@@ -656,9 +656,9 @@ class ExpertSolver:
             K=K, do_sens=bool(self.do_sens), precision="ts")
         o_max = int(np.asarray(self.order).max())
         basic = not (self.do_sens or self.algorithm == defs.ALGO_ITERATIVE)
-        mom_ok = basic and pallas_fit.moment_auto_ok(self.dimension,
+        mom_ok = basic and pallas_fit.moment_cert_ok(self.dimension,
                                                      o_max, K)
-        ts_mom_ok = basic and pallas_fit.moment_auto_ok(
+        ts_mom_ok = basic and pallas_fit.moment_cert_ok(
             self.dimension, o_max, K, nplanes=3)
         # same ordering as the ladder: fastest assembly/arithmetic whose
         # OWN calibrated envelope certifies (fitter/ladder.py)

@@ -304,7 +304,9 @@ def _moment_vmem_bytes(dimension: int, order: int, K: int,
     NM = len(_moment_lattice(dimension, 2 * order)[0])
     NTRI = NO * (NO + 1) // 2
     tile_bytes = tile_s * TILE_L * 4
-    scratch = nplanes * (NM + NTRI + NO) * tile_bytes
+    scratch = nplanes * (NM + max(NTRI, NM) + NO) * tile_bytes
+    if _moment_staged(dimension, order):
+        scratch += NTRI * tile_bytes          # in-place packed factor
     inputs = (nplanes * K * dimension + nplanes * K + K + 1
               + nplanes * NO + nplanes) * tile_bytes
     outputs = nplanes * NO * tile_bytes
@@ -312,10 +314,16 @@ def _moment_vmem_bytes(dimension: int, order: int, K: int,
 
 
 #: largest moment-lattice size assembly="auto" will pick the moment body
-#: for (covers 1D, all 2D orders, 3D order <= 2 — the configurations
-#: whose Mosaic compile times are measured seconds); see the
-#: compile-time note at the use_moments decision in fit_pallas
-MOMENT_AUTO_NM = 45
+#: for — since round 5 this covers every 1D/2D/3D order-<=4 config
+#: (NM <= 165).  The big-triangle configs run the VMEM-staged kernel
+#: form (:func:`_moment_staged`), which brought the 3D order-4 Mosaic
+#: compile from >9 min (round 4, all-SSA) to ~2 min and measures
+#: 8.8 M fits/s vs the rows body's 7.1 (K = 48); 3D order 3 compiles
+#: unstaged in ~1 min at 14.2 vs rows' 11.9 (benchmarks/r5_dim3_*.json).
+#: CERTIFIED routing additionally requires :func:`moment_cert_ok`
+#: (dim <= 2): the 3D moment envelopes measured unsound in the round-5
+#: gate sweep.
+MOMENT_AUTO_NM = 165
 
 
 def moment_vmem_ok(dimension: int, order: int, K: int,
@@ -335,6 +343,40 @@ def moment_auto_ok(dimension: int, order: int, K: int,
     return (moment_vmem_ok(dimension, order, K, nplanes, tile_s)
             and len(_moment_lattice(dimension, 2 * order)[0])
             <= MOMENT_AUTO_NM)
+
+
+def moment_cert_ok(dimension: int, order: int, K: int,
+                   nplanes: int = 2, tile_s: int = TILE_S) -> bool:
+    """Whether the LADDER may certify the moment body for this config.
+
+    Stricter than :func:`moment_auto_ok` (which gates the uncertified /
+    forced kernel): the moment-assembly error-envelope units are
+    calibrated on the 1D/2D sweep family, and the round-5 3D order-4
+    gate-soundness sweep (benchmarks/run_gate_check.py --3d) measured
+    the 2D-calibrated moments-ds gate UNSOUND there (8 violations,
+    worst 2.24x tol, vs rows-ts 0 violations) — the deg-8 three-axis
+    moment chains cancel harder than any 2D configuration.  Certified
+    3D routing therefore stays on the rows/ts rungs; the moment body
+    still serves 3D through explicit ``assembly=`` or forced-kernel
+    calls at its measured (uncertified) parity.
+    """
+    return dimension <= 2 and moment_auto_ok(dimension, order, K,
+                                             nplanes, tile_s)
+
+
+def _moment_staged(dimension: int, order: int) -> bool:
+    """Whether the moment kernel stages its big intermediate sets in VMEM.
+
+    At 3D order 4 the fully-SSA kernel holds ~1,600 live (8, 128) f32
+    tiles (the Cholesky factor, the scaled matrix, and the per-neighbor
+    chain values), and Mosaic's register allocator dominated the round-4
+    >9 min compile.  Staging them in VMEM scratch with STATIC indices
+    keeps the statement count but collapses the live ranges.  Gated to
+    the big-triangle configs so the measured-fast 2D/1D kernels keep
+    their tuned all-SSA form.
+    """
+    NO = defs.number_of_dofs(dimension, order)
+    return NO * (NO + 1) // 2 > 256
 
 
 def _cond_estimate(Asc, L, NO, zero):
@@ -364,8 +406,15 @@ def _cond_estimate(Asc, L, NO, zero):
     ninf = rows[0]
     for j in range(1, NO):
         ninf = jnp.maximum(ninf, rows[j])
-    # ||A^{-1}||_F^2 = sum_i ||A^{-1} e_i||^2, columns via L L^T solves;
-    # symmetry halves the work: column i contributes rows >= i twice
+    return ninf * jnp.sqrt(_cond_inv_f2(lambda i, kk: L[i][kk], NO, zero))
+
+
+def _cond_inv_f2(Lrd, NO, zero):
+    """``||A^{-1}||_F^2 = sum_i ||A^{-1} e_i||^2`` via L L^T solves.
+
+    ``Lrd(i, kk)`` reads the Cholesky factor (SSA list or VMEM scratch);
+    symmetry halves the work: column i contributes rows >= i twice.
+    """
     nFi2 = zero
     one = jnp.ones_like(zero)
     for i in range(NO):
@@ -373,23 +422,33 @@ def _cond_estimate(Asc, L, NO, zero):
         for r in range(i, NO):
             t = one if r == i else zero
             for kk in range(i, r):
-                t = t - L[r][kk] * y[kk]
-            y[r] = t / L[r][r]
+                t = t - Lrd(r, kk) * y[kk]
+            y[r] = t / Lrd(r, r)
         x = [None] * NO
         for r in range(NO - 1, i - 1, -1):
             t = y[r]
             for kk in range(r + 1, NO):
-                t = t - L[kk][r] * x[kk]
-            x[r] = t / L[r][r]
+                t = t - Lrd(kk, r) * x[kk]
+            x[r] = t / Lrd(r, r)
             x2 = x[r] * x[r]
             nFi2 = nFi2 + (x2 if r == i else x2 + x2)
-    return ninf * jnp.sqrt(nFi2)
+    return nFi2
 
 
 def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
                         refine_steps: int, knowns: int, precision: str,
-                        tile_s: int = TILE_S, emit_cond: bool = False):
-    """Moment-assembly kernel: basic algorithm only (no sens/iterative).
+                        tile_s: int = TILE_S, emit_cond: bool = False,
+                        max_iter: int = 0):
+    """Moment-assembly kernel: basic + ALGO_ITERATIVE (no sensitivities).
+
+    ``max_iter > 0`` runs the reference's corrective refits
+    (wlsqm/fitter/impl.pyx:986-1083) on the moment store: the corrective
+    solve is EXACTLY one packed-pair refinement step (the
+    normal-equations residual ``b - A x`` equals the data-space
+    projection ``sum_k w r_k c_k`` algebraically), so each iteration
+    costs one NTRI-MAC sweep plus the per-neighbor data-residual pass
+    that drives the exact l-inf stagnation rule — the rows body pays a
+    full K x NO RHS re-projection on top.
 
     ``emit_cond`` appends a per-case f32 output estimating the scaled
     system's conditioning, ``cond_F >= cond_2(A_jacobi)`` via
@@ -421,6 +480,7 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
     for a, j in enumerate(UN):
         for m in UN[a:]:
             tri[(j, m)] = len(tri)
+    stage = _moment_staged(dimension, order)
 
     def m_slot(j, m):
         """Moment index for A[j, m]."""
@@ -442,12 +502,18 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
         if KN:
             gi_refs, rest = take(rest, NPL)
         x_refs, rest = take(rest, NPL)        # DOF outputs
+        itr_ref = None
+        if max_iter:
+            (itr_ref,), rest = take(rest, 1)
         cond_ref = None
         if emit_cond:
             (cond_ref,), rest = take(rest, 1)
         M_refs, rest = take(rest, NPL)        # moment planes (scratch)
         A_refs, rest = take(rest, NPL)        # packed scaled pair A
         b_refs, rest = take(rest, NPL)        # RHS planes
+        L_ref = None
+        if stage:                             # in-place packed factor
+            (L_ref,), rest = take(rest, 1)
         zero = jnp.zeros((tile_s, TILE_L), jnp.float32)
 
         def zpad(planes):
@@ -519,14 +585,25 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
             # rounding inflated the round-4 calibrated envelope ~30x
             # (3.9e-13 vs rows' 1.25e-14); with full renorm the round-5
             # re-sweep puts moments-ds within ~1.3x of rows and makes
-            # ts-moments bit-identical to ts-rows (r5_probe.json)
+            # ts-moments bit-identical to ts-rows (r5_probe.json).
+            # Staged configs route the chain values through the (still
+            # unused) packed-A scratch rows instead of ~NM*NPL live SSA
+            # tiles — NM <= the A scratch's row count by construction
+            # (fit_pallas sizes it max(NTRI, NM) when staged).
             vals = [None] * NM
-            vals[0] = w
             for i in range(NM):
-                if i:
+                if i == 0:
+                    vi = w
+                else:
                     pj, ax = m_parents[i]
-                    vals[i] = chain_mul(vals[pj], dcols[ax], dsplits[ax])
-                a = ns.add(at(M_refs, i), vals[i])
+                    vp = at(A_refs, pj) if stage else vals[pj]
+                    vi = chain_mul(vp, dcols[ax], dsplits[ax])
+                if stage:
+                    for p in range(NPL):
+                        A_refs[p][i] = vi[p]
+                else:
+                    vals[i] = vi
+                a = ns.add(at(M_refs, i), vi)
                 for p in range(NPL):
                     M_refs[p][i] = a[p]
             # RHS chain rooted at w*f over the DOF exponents
@@ -543,7 +620,14 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
 
         lax.fori_loop(jnp.int32(0), jnp.int32(K), asm_body, jnp.int32(0))
 
-        M = [at(M_refs, i) for i in range(NM)]
+        if stage:
+            def Mv(i):
+                return at(M_refs, i)
+        else:
+            _M = [at(M_refs, i) for i in range(NM)]
+
+            def Mv(i):
+                return _M[i]
         bs = [at(b_refs, j) for j in range(NO)]
 
         # knowns: algebraic elimination THROUGH the moments — the
@@ -553,7 +637,7 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
                 bm = bs[mcol]
                 for j in KN:
                     g = at(gi_refs, kn_slot[j])
-                    bm = ns.sub(bm, ns.mul(g, M[m_slot(j, mcol)]))
+                    bm = ns.sub(bm, ns.mul(g, Mv(m_slot(j, mcol))))
                 bs[mcol] = bm
 
         # Jacobi scale from the moment diagonal; known DOFs s = 1
@@ -562,7 +646,7 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
             if j in kn_slot:
                 s[j] = jnp.ones_like(zero)
                 continue
-            djj = M[m_slot(j, j)][0]
+            djj = Mv(m_slot(j, j))[0]
             s[j] = jnp.where(djj > 0,
                              lax.rsqrt(jnp.where(djj > 0, djj, 1.0)), 1.0)
 
@@ -575,49 +659,110 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
         # multiplies works but costs 120 x 2 pair ops of trace-time math
         # the sweep formulation gets for free.  The f32 Cholesky PRE-
         # CONDITIONER uses the f32-rounded scaled entries (harmless).
-        Asc = [[None] * NO for _ in range(NO)]
-        for (j, mcol), t in tri.items():
-            mv = M[m_slot(j, mcol)]
-            for p in range(NPL):
-                A_refs[p][t] = mv[p]
-            Asc[j][mcol] = mv[0] * (s[j] * s[mcol])
         one = jnp.ones((tile_s, TILE_L), jnp.float32)
-        for j in KN:
-            for mcol in range(j, NO):
-                Asc[j][mcol] = one if mcol == j else zero
-            for i in range(j):
-                Asc[i][j] = zero
+        if stage:
+            # ---- staged factorization: seed the Jacobi-scaled matrix
+            #      into a packed VMEM scratch and Cholesky-factor it IN
+            #      PLACE with static indices.  The all-SSA form below
+            #      holds ~NO^2 live (8, 128) tiles (Asc + L = 2 x 630 at
+            #      NO = 35), which dominated the round-4 >9 min Mosaic
+            #      compile via register allocation; here every value's
+            #      live range is one statement pair.
+            def lt(i, j):                       # packed lower, j <= i
+                return i * (i + 1) // 2 + j
 
-        L = [[None] * (i + 1) for i in range(NO)]
-        for j in range(NO):
-            acc_ = Asc[j][j]
-            for kk in range(j):
-                acc_ = acc_ - L[j][kk] * L[j][kk]
-            dj = jnp.sqrt(jnp.maximum(acc_, 1e-30))
-            L[j][j] = dj
-            invd = 1.0 / dj
-            for i in range(j + 1, NO):
-                t = Asc[j][i]
+            for (j, mcol), t in tri.items():
+                mv = Mv(m_slot(j, mcol))
+                for p in range(NPL):
+                    A_refs[p][t] = mv[p]
+                L_ref[lt(mcol, j)] = mv[0] * (s[j] * s[mcol])
+            for i in range(NO):
+                for j in range(i + 1):
+                    if i in kn_slot or j in kn_slot:
+                        L_ref[lt(i, j)] = one if i == j else zero
+            ninf = None
+            if emit_cond:
+                # ||A||_inf of the scaled matrix, from the seeds before
+                # the in-place factorization consumes them
+                rows_acc = [zero] * NO
+                for (j, mcol), t in tri.items():
+                    v = jnp.abs(L_ref[lt(mcol, j)])
+                    rows_acc[j] = rows_acc[j] + v
+                    if mcol != j:
+                        rows_acc[mcol] = rows_acc[mcol] + v
+                for j in KN:
+                    rows_acc[j] = rows_acc[j] + one
+                ninf = rows_acc[0]
+                for j in range(1, NO):
+                    ninf = jnp.maximum(ninf, rows_acc[j])
+            # left-looking packed Cholesky; the pivot row L[j, :j] is
+            # cached in SSA (it is reused NO - j times per column)
+            for j in range(NO):
+                lj = [L_ref[lt(j, kk)] for kk in range(j)]
+                acc_ = L_ref[lt(j, j)]
                 for kk in range(j):
-                    t = t - L[i][kk] * L[j][kk]
-                L[i][j] = t * invd
+                    acc_ = acc_ - lj[kk] * lj[kk]
+                dj = jnp.sqrt(jnp.maximum(acc_, 1e-30))
+                L_ref[lt(j, j)] = dj
+                invd = 1.0 / dj
+                for i in range(j + 1, NO):
+                    t = L_ref[lt(i, j)]
+                    for kk in range(j):
+                        t = t - L_ref[lt(i, kk)] * lj[kk]
+                    L_ref[lt(i, j)] = t * invd
 
-        if emit_cond:
-            cond_ref[...] = _cond_estimate(Asc, L, NO, zero)
+            def Lrd(i, kk):
+                return L_ref[lt(i, kk)]
+
+            if emit_cond:
+                cond_ref[...] = ninf * jnp.sqrt(_cond_inv_f2(Lrd, NO,
+                                                             zero))
+        else:
+            Asc = [[None] * NO for _ in range(NO)]
+            for (j, mcol), t in tri.items():
+                mv = Mv(m_slot(j, mcol))
+                for p in range(NPL):
+                    A_refs[p][t] = mv[p]
+                Asc[j][mcol] = mv[0] * (s[j] * s[mcol])
+            for j in KN:
+                for mcol in range(j, NO):
+                    Asc[j][mcol] = one if mcol == j else zero
+                for i in range(j):
+                    Asc[i][j] = zero
+
+            L = [[None] * (i + 1) for i in range(NO)]
+            for j in range(NO):
+                acc_ = Asc[j][j]
+                for kk in range(j):
+                    acc_ = acc_ - L[j][kk] * L[j][kk]
+                dj = jnp.sqrt(jnp.maximum(acc_, 1e-30))
+                L[j][j] = dj
+                invd = 1.0 / dj
+                for i in range(j + 1, NO):
+                    t = Asc[j][i]
+                    for kk in range(j):
+                        t = t - L[i][kk] * L[j][kk]
+                    L[i][j] = t * invd
+
+            if emit_cond:
+                cond_ref[...] = _cond_estimate(Asc, L, NO, zero)
+
+            def Lrd(i, kk):
+                return L[i][kk]
 
         def chol_solve(rhs):
             y = [None] * NO
             for i in range(NO):
                 t = rhs[i]
                 for kk in range(i):
-                    t = t - L[i][kk] * y[kk]
-                y[i] = t / L[i][i]
+                    t = t - Lrd(i, kk) * y[kk]
+                y[i] = t / Lrd(i, i)
             x = [None] * NO
             for i in range(NO - 1, -1, -1):
                 t = y[i]
                 for kk in range(i + 1, NO):
-                    t = t - L[kk][i] * x[kk]
-                x[i] = t / L[i][i]
+                    t = t - Lrd(kk, i) * x[kk]
+                x[i] = t / Lrd(i, i)
             return x
 
         # initial solve in the scaled space (hoisted; A @ 0 == 0)
@@ -668,6 +813,74 @@ def _make_kernel_moment(dimension: int, order: int, K: int, weighting: int,
         ys = ((y0,) + tuple([zero] * NO for _ in range(NPX - 1)))
         ys = lax.fori_loop(jnp.int32(0), jnp.int32(refine_steps),
                            refine, ys)
+
+        if max_iter:
+            # ---- ALGO_ITERATIVE: masked fixed-trip corrective refits
+            #      with the reference's exact l-inf stagnation rule
+            #      (wlsqm/fitter/impl.pyx:1057-1061).  The data-residual
+            #      pass recomputes the DOF-monomial chain per neighbor
+            #      (nothing is stored); the corrective refit itself IS
+            #      one packed-A refinement step, done-masked.  Same
+            #      carry discipline as the rows body: f32 tiles only,
+            #      extended (hi, lo) norm.
+            one_pair = zpad((jnp.ones_like(zero),))
+
+            def iter_body(_, st):
+                ys_pl, done = st[:-4], st[-4]
+                prev0, prev1, itn = st[-3], st[-2], st[-1]
+                ysl = [tuple(ys_pl[p][j] for p in range(NPX))
+                       for j in range(NO)]
+                xh = [pro(at(gi_refs, kn_slot[j])) if j in kn_slot
+                      else sw.mul_f32(ysl[j], s[j]) for j in range(NO)]
+
+                def k_norm(k, acc):
+                    dck = [ns.mul_f32(at(d_refs, k, a), inv_s)
+                           for a in range(dimension)]
+                    dsk = [tf.split_hi(d[0]) if NPL == 2 else None
+                           for d in dck]
+                    cv = [None] * NO
+                    m = zpadx()
+                    for j in range(NO):
+                        pj, ax = dof_chain[j]
+                        cv[j] = (one_pair if pj is None
+                                 else chain_mul(cv[pj], dck[ax], dsk[ax]))
+                        m = sw.add(m, sw.mul(pro(cv[j]), xh[j]))
+                    r = sw.sub(pro(at(fk_refs, k)), m)
+                    valid = kmask_ref[k] > 0
+                    r = tuple(jnp.where(valid, p, 0.0) for p in r)
+                    sg = jnp.where(r[0] != 0.0, jnp.sign(r[0]),
+                                   jnp.sign(r[1]))
+                    a0 = r[0] * sg
+                    a1 = r[1] * sg
+                    c0, c1 = acc
+                    take_ = (a0 > c0) | ((a0 == c0) & (a1 > c1))
+                    return (jnp.where(take_, a0, c0),
+                            jnp.where(take_, a1, c1))
+
+                nrm0, nrm1 = lax.fori_loop(jnp.int32(0), jnp.int32(K),
+                                           k_norm, (zero, zero))
+                done_now = jnp.maximum(
+                    done,
+                    ((nrm0 == prev0) & (nrm1 == prev1)).astype(jnp.float32))
+                upd = done_now == 0.0
+                ys_new = refine(0, ys_pl)
+                out = [[] for _ in range(NPX)]
+                for j in range(NO):
+                    for p in range(NPX):
+                        out[p].append(jnp.where(upd, ys_new[p][j],
+                                                ys_pl[p][j]))
+                itn = itn + upd.astype(jnp.float32)
+                return tuple(tuple(o) for o in out) + (done_now, nrm0,
+                                                       nrm1, itn)
+
+            st0 = tuple(tuple(ys[p][j] for j in range(NO))
+                        for p in range(NPX)) + (
+                zero, jnp.full((tile_s, TILE_L), -1.0, jnp.float32), zero,
+                zero)
+            stN = lax.fori_loop(jnp.int32(0), jnp.int32(max_iter),
+                                iter_body, st0)
+            ys = tuple(list(stN[p]) for p in range(NPX))
+            itr_ref[...] = stN[-1]
 
         # back to the (radius-scaled) DOF space: x_j = s_j y_j
         for j in range(NO):
@@ -1145,21 +1358,25 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     # >9 min vs the rows body's ~23 s), so big-lattice configs keep the
     # rows body unless the caller opts in explicitly
     use_moments = assembly == "moments" or (
-        assembly == "auto" and not do_sens and max_iter == 0
+        assembly == "auto" and not do_sens
         and moment_vmem_ok(dimension, order, K, NPL, ts_)
         and len(_moment_lattice(dimension, 2 * order)[0]) <= MOMENT_AUTO_NM)
-    if use_moments and (do_sens or max_iter):
-        raise ValueError("assembly='moments' covers the basic algorithm "
-                         "only (no sensitivities / ALGO_ITERATIVE)")
+    if use_moments and do_sens:
+        raise ValueError("assembly='moments' does not cover sensitivities "
+                         "(they need per-(k, j) basis rows); use "
+                         "assembly='rows'")
     if precision == "dsts" and not use_moments:
         raise ValueError("precision='dsts' (pair store + triple-single "
                          "sweeps) is a moment-assembly variant; pass "
                          "assembly='moments' or a moment-eligible config")
+    if precision == "dsts" and max_iter:
+        raise ValueError("precision='dsts' covers the basic algorithm "
+                         "only; use 'ds' or 'ts' for ALGO_ITERATIVE")
     store_basis = _store_basis(dimension, order, K, do_sens, NPL, ts_)
     if use_moments:
         kernel, NO, deg, NM, NTRI = _make_kernel_moment(
             dimension, order, K, weighting, refine_steps, knowns,
-            precision, ts_, emit_cond)
+            precision, ts_, emit_cond, max_iter)
     else:
         kernel, NO, deg = _make_kernel(dimension, order, K, weighting,
                                        refine_steps, store_basis, do_sens,
@@ -1259,12 +1476,19 @@ def fit_pallas(xk, fk, nk, xi, fi_init=None, *, dimension: int, order: int,
     out_shape = tuple(out_shape)
     out_specs = tuple(out_specs)
     if use_moments:
+        staged = _moment_staged(dimension, order)
+        # staged kernels route the per-neighbor chain values through the
+        # A scratch during assembly, so it must hold max(NTRI, NM) rows
+        a_rows = max(NTRI, NM if staged else 1, 1)
         scratch = [pltpu.VMEM((NM, ts_, TILE_L), jnp.float32)          # M
                    for _ in range(NPL)]
-        scratch += [pltpu.VMEM((max(NTRI, 1), ts_, TILE_L), jnp.float32)
+        scratch += [pltpu.VMEM((a_rows, ts_, TILE_L), jnp.float32)
                     for _ in range(NPL)]                               # A
         scratch += [pltpu.VMEM((NO, ts_, TILE_L), jnp.float32)         # b
                     for _ in range(NPL)]
+        if staged:
+            scratch += [pltpu.VMEM((NO * (NO + 1) // 2, ts_, TILE_L),
+                                   jnp.float32)]                       # L
     else:
         scratch = [pltpu.VMEM((NO, NO, ts_, TILE_L), jnp.float32)]     # A
         scratch += [pltpu.VMEM((NO, ts_, TILE_L), jnp.float32)         # b

@@ -40,12 +40,17 @@ import numpy as np
 
 __all__ = ["warmup", "DEFAULT_CONFIGS"]
 
-#: the benchmark-suite configurations (headline, iterative, sens, 3D)
+#: the benchmark-suite configurations (headline, iterative, sens, 3D).
+#: The last entry warms the staged 3D moment body the dim3 benchmark row
+#: (and direct fit_pallas callers) hit — its ~2 min Mosaic compile is
+#: the largest cliff in the suite; the plain 3D entry warms the
+#: CERTIFIED route auto users get (rows-ts — see moment_cert_ok).
 DEFAULT_CONFIGS = (
     dict(dimension=2, order=4, K=30),
     dict(dimension=2, order=4, K=30, iterative=True),
     dict(dimension=2, order=4, K=30, do_sens=True),
     dict(dimension=3, order=4, K=48),
+    dict(dimension=3, order=4, K=48, assembly="moments"),
 )
 
 

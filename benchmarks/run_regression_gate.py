@@ -7,6 +7,7 @@ compares against ``benchmarks/perf_reference.json``:
 
   headline   2D order-4 K=30 WEIGHT_CENTER ds kernel      (M fits/s)
   auto       the PUBLIC route: plan_fit_many->fit_many    (M fits/s)
+  auto_grid  the public route on a jittered-stencil cloud (M fits/s)
   iterative  + ALGO_ITERATIVE max_iter=3                  (M fits/s)
   sens       + in-kernel sensitivities                    (M fits/s)
   dim3       3D order-4 K=48 (NO=35, recompute-basis)     (M fits/s)
@@ -149,6 +150,55 @@ def _auto_row(key, *, chunk=32768, K=30):
     return key, rate / 1e6, spread, compile_s
 
 
+def _auto_grid_row(key, *, chunk=32768, K=30):
+    """The public route on the reference's PRODUCTION geometry class.
+
+    The uniform-random ``auto`` cloud is a conditioning stress test (its
+    exact key maximum reaches ~5e4, forcing the certified ts body); the
+    reference's own headline use is PDE stencils on meshes
+    (wlsqm/examples/firstexample.py, the IBVP solvers), whose jittered
+    grid-patch neighborhoods keep the key well inside the moments-ds
+    envelope — so this row exercises the whole-batch ds rung of
+    plan_fit_many, the fastest certified public path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import wlsqm_tpu as wt
+    from wlsqm_tpu.fitter import defs
+
+    # 6x5 unit-scale grid patch around the origin with 20% jitter — the
+    # neighborhood a mesh-based kNN delivers in the bulk, at the scale
+    # the reference's own examples use (unit-square clouds).  NOTE the
+    # patch radius matters for routing: the de-scale amplification
+    # grows as radius^-order, so sub-0.3-radius stencils leave the
+    # certified-kernel envelope and pay the engine (the documented
+    # conditioning-limited regime) — this row measures the
+    # well-conditioned bulk.
+    gx, gy = jnp.meshgrid(jnp.arange(6, dtype=jnp.float64) - 2.5,
+                          jnp.arange(5, dtype=jnp.float64) - 2.0)
+    base = jnp.stack([gx.ravel(), gy.ravel()], -1)[:K] * 0.25
+    k1, k2 = jax.random.split(jax.random.PRNGKey(77))
+    nres = 2
+    xks = (base[None, None] + 0.05 * jax.random.uniform(
+        k1, (nres, chunk, K, 2), jnp.float64, -1.0, 1.0))
+    fks = (jnp.sin(3.0 * xks[..., 0]) * jnp.cos(2.0 * xks[..., 1])
+           + 0.01 * jax.random.normal(k2, (nres, chunk, K)))
+    jax.block_until_ready((xks, fks))
+    nk = jnp.full((chunk,), K, jnp.int32)
+    xi = jnp.zeros((chunk, 2))
+    plan = wt.plan_fit_many(xks[0], xi, nk=nk, order=4,
+                            weighting=defs.WEIGHT_CENTER)
+    print("auto_grid route: %s" % (plan.route,), flush=True)
+
+    def fit_chunk(xk, fk):
+        return wt.fit_many(xk, fk, xi, nk=nk, order=4,
+                           weighting=defs.WEIGHT_CENTER, plan=plan).fi
+
+    rate, spread, compile_s = _measure_rate(fit_chunk, xks, fks, chunk)
+    return key, rate / 1e6, spread, compile_s
+
+
 def _expert_row(key, *, B=8192, K=30, reps=5):
     """ExpertSolver NumPy solve boundary (solves/s, bridge floor incl.).
 
@@ -252,6 +302,8 @@ ROWS = {
                      fn=lambda key: _kernel_row(key)),
     "auto": dict(kind="rate", unit="M fits/s",
                  fn=lambda key: _auto_row(key)),
+    "auto_grid": dict(kind="rate", unit="M fits/s",
+                      fn=lambda key: _auto_grid_row(key)),
     "iterative": dict(kind="rate", unit="M fits/s",
                       fn=lambda key: _kernel_row(key, max_iter=3)),
     "sens": dict(kind="rate", unit="M fits+sens/s",

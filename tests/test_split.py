@@ -60,13 +60,17 @@ def test_split_partition_choice_requires_calibration(monkeypatch):
 def test_maybe_split_route_upgrades_ts_kernel_route(monkeypatch, rng):
     _fake_units(monkeypatch, est_ds_cert_unit_m=2.26e-14,
                 est_dsts_cert_unit_m=1.6e-14)
-    B, K = 64, 30
+    # the throughput guard keeps the split dormant at the measured glue
+    # cost (r5_split_ablate) — zero it to exercise the upgrade itself;
+    # B large enough that the TILE/B window slack stays small
+    monkeypatch.setattr(ladder, "SPLIT_GLUE_TS_UNITS", 0.0)
+    B, K = 8192, 30
     xk = rng.uniform(-1, 1, (B, K, 2))
     xi = np.zeros((B, 2))
     nk = np.full((B,), K, np.int32)
     edge = 1e-10 / (4 * 1.6e-14)
-    # 90% of cases under the edge, 10% beyond
-    fake_est = np.where(np.arange(B) % 10 == 0, 10 * edge, 0.5 * edge)
+    # 95% of cases under the edge, 5% beyond
+    fake_est = np.where(np.arange(B) % 20 == 0, 10 * edge, 0.5 * edge)
     monkeypatch.setattr(condprobe, "cond_key",
                         lambda *a, **k: jnp.asarray(fake_est))
     base = ladder.Route(path="kernel", kernel_precision="ts",
@@ -86,6 +90,84 @@ def test_maybe_split_route_upgrades_ts_kernel_route(monkeypatch, rng):
                                   wm=defs.WEIGHT_CENTER, basic=True) is ds
     assert api._maybe_split_route(base, xk, nk, xi, dim=2, K=K, o=4, kn=0,
                                   wm=defs.WEIGHT_CENTER, basic=False) is base
+
+
+def test_split_throughput_guard_keeps_ts(monkeypatch, rng):
+    """At the MEASURED glue cost the split composition is slower than
+    the plain ts kernel (r5_split_ablate: 6.5 vs 14.5 M fits/s), so the
+    upgrade must NOT engage even when the certified fraction is high."""
+    _fake_units(monkeypatch, est_ds_cert_unit_m=2.26e-14,
+                est_dsts_cert_unit_m=1.6e-14)
+    B, K = 64, 30
+    xk = rng.uniform(-1, 1, (B, K, 2))
+    xi = np.zeros((B, 2))
+    nk = np.full((B,), K, np.int32)
+    edge = 1e-10 / (4 * 1.6e-14)
+    fake_est = np.where(np.arange(B) % 10 == 0, 10 * edge, 0.5 * edge)
+    monkeypatch.setattr(condprobe, "cond_key",
+                        lambda *a, **k: jnp.asarray(fake_est))
+    base = ladder.Route(path="kernel", kernel_precision="ts",
+                        refine_steps=3)
+    out = api._maybe_split_route(base, xk, nk, xi, dim=2, K=K, o=4,
+                                 kn=0, wm=defs.WEIGHT_CENTER, basic=True)
+    assert out is base
+
+
+def test_whole_batch_rungs_upgrade_by_exact_max_key(monkeypatch, rng):
+    """When the exact key maximum certifies a faster whole-batch body,
+    the ts route upgrades to it directly — no split, no tail."""
+    _fake_units(monkeypatch, est_ds_cert_unit_m=2.26e-14,
+                est_dsts_cert_unit_m=1.6e-14, est_ts_parity_unit_m=4.9e-16)
+    B, K = 64, 30
+    xk = rng.uniform(-1, 1, (B, K, 2))
+    xi = np.zeros((B, 2))
+    nk = np.full((B,), K, np.int32)
+    ds_edge = 1e-10 / (4 * 2.26e-14)
+    dsts_edge = 1e-10 / (4 * 1.6e-14)
+    ts_edge = 1e-10 / (4 * 4.9e-16)
+    base = ladder.Route(path="kernel", kernel_precision="ts",
+                        refine_steps=3)
+
+    def with_max(mx):
+        fake = np.linspace(0.1 * mx, mx, B)
+        monkeypatch.setattr(condprobe, "cond_key",
+                            lambda *a, **k: jnp.asarray(fake))
+        return api._maybe_split_route(base, xk, nk, xi, dim=2, K=K, o=4,
+                                      kn=0, wm=defs.WEIGHT_CENTER,
+                                      basic=True)
+
+    r = with_max(0.9 * ds_edge)
+    assert (r.path, r.kernel_precision, r.assembly) == (
+        "kernel", "ds", "moments")
+    r = with_max(0.9 * dsts_edge)
+    assert (r.path, r.kernel_precision, r.assembly) == (
+        "kernel", "dsts", "moments")
+    assert r.refine_steps == 3
+    # inside the ts envelope: the ts route stands, now per-case sound
+    assert with_max(0.9 * ts_edge) is base
+    # beyond every envelope with a high certified fraction: the split
+    # would be next, but the measured glue keeps it dormant
+    assert with_max(10 * ts_edge) is base
+
+
+def test_whole_batch_rungs_poisoned_by_nan_key(monkeypatch, rng):
+    """A single degenerate (NaN-keyed) case must disable every
+    whole-batch upgrade rung — NaN certifies nothing."""
+    _fake_units(monkeypatch, est_ds_cert_unit_m=2.26e-14,
+                est_dsts_cert_unit_m=1.6e-14, est_ts_parity_unit_m=4.9e-16)
+    B, K = 64, 30
+    xk = rng.uniform(-1, 1, (B, K, 2))
+    xi = np.zeros((B, 2))
+    nk = np.full((B,), K, np.int32)
+    fake = np.full(B, 10.0)
+    fake[3] = np.nan
+    monkeypatch.setattr(condprobe, "cond_key",
+                        lambda *a, **k: jnp.asarray(fake))
+    base = ladder.Route(path="kernel", kernel_precision="ts",
+                        refine_steps=3)
+    out = api._maybe_split_route(base, xk, nk, xi, dim=2, K=K, o=4,
+                                 kn=0, wm=defs.WEIGHT_CENTER, basic=True)
+    assert out is base
 
 
 def test_maybe_split_route_needs_majority(monkeypatch, rng):

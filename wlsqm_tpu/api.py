@@ -198,7 +198,9 @@ def _eager_split_group(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
     Unlike the planned :func:`_run_kernel_split`, the eager path reads
     the kernel-emitted key back to the host and re-solves EXACTLY the
     uncertified cases — no static tail window, no margin: every case's
-    result carries its own certified envelope (fast-partition or tail).
+    result carries its own certified envelope (fast partition, ts tail,
+    or — for keys beyond even the ts envelope edge — the exact f64
+    engine, so no case ever rides an envelope that exceeds the bar).
     """
     from wlsqm_tpu.fitter import condprobe
     from wlsqm_tpu.ops import pallas_fit
@@ -218,33 +220,70 @@ def _eager_split_group(xk, fk, nk, xi, fi_init, *, dim, order, knowns,
         weighting=weighting, knowns=knowns, interpret=False,
         precision=prec, assembly="moments", refine_steps=steps,
         emit_cond=True)
-    fi_fast = fi_fast[:B]
+    fi = fi_fast[:B]
     est_np = np.asarray(est[:B])
-    sel = np.nonzero(~(est_np <= edge))[0]
-    if not len(sel):
-        return fi_fast, jnp.zeros((B,), jnp.int32), None
-    sel_j = jnp.asarray(sel)
-    fi_t, _, _ = _run_kernel_group(
-        xk[sel_j], fk[sel_j], nk[sel_j], xi[sel_j],
-        None if fi_init is None else fi_init[sel_j],
-        dim=dim, order=order, knowns=knowns, weighting=weighting,
-        route=tail_route, refine_steps=None, do_sens=False,
-        iterative=False, max_iter=0, interpret=False)
-    fi = fi_fast.at[sel_j].set(fi_t)
+    bad = ~(est_np <= edge)
+    ts_edge = condprobe.est_certified_edges().get("ts")
+    f64_mask = (~(est_np <= ts_edge)) & bad if ts_edge else np.zeros(B, bool)
+    sel = np.nonzero(bad & ~f64_mask)[0]
+    if len(sel):
+        sel_j = jnp.asarray(sel)
+        fi_t, _, _ = _run_kernel_group(
+            xk[sel_j], fk[sel_j], nk[sel_j], xi[sel_j],
+            None if fi_init is None else fi_init[sel_j],
+            dim=dim, order=order, knowns=knowns, weighting=weighting,
+            route=tail_route, refine_steps=None, do_sens=False,
+            iterative=False, max_iter=0, interpret=False)
+        fi = fi.at[sel_j].set(fi_t)
+    sel64 = np.nonzero(f64_mask)[0]
+    if len(sel64):
+        no_g = defs.number_of_dofs(dim, order)
+        s_j = jnp.asarray(sel64)
+        n64 = len(sel64)
+        fi0 = (jnp.zeros((n64, no_g), xk.dtype) if fi_init is None
+               else jnp.asarray(fi_init, xk.dtype)[s_j, :no_g])
+        fi_e, _, _, _ = engine.fit_batch(
+            xk[s_j], fk[s_j], nk[s_j], xi[s_j], fi0,
+            jnp.full((n64,), order, jnp.int32),
+            jnp.full((n64,), knowns, jnp.int64),
+            jnp.full((n64,), weighting, jnp.int32),
+            dimension=dim, NO=no_g, do_sens=False, iterative=False,
+            max_iter=0, debug=False, precision=engine.PRECISION_F64)
+        fi = fi.at[s_j].set(fi_e)
     return fi, jnp.zeros((B,), jnp.int32), None
 
 
 def _maybe_split_route(route, xk, nk, xi, *, dim, K, o, kn, wm,
                        basic: bool):
-    """Upgrade a batch-level ts kernel route to the per-case split.
+    """Re-route a batch-level ts kernel route on the FULL key distribution.
 
-    Engages when the batch could not certify the fast (moments-ds/dsts)
-    body as a whole but a large fraction of its cases certify
-    individually under the calibrated per-case key envelope
-    (``est_*`` units): the certified majority then runs the ~2x-faster
-    fast body and only the tail pays ts.  Decision needs concrete data
-    (the key distribution), mirroring the probe/ladder split of
-    plan-time vs run-time everywhere else in this module.
+    The sampled probe that picked the batch-level route can miss the
+    conditioning maximum entirely (the round-5 headline cloud sampled a
+    max of 21,101 vs a true 50,876), so this pass computes the per-case
+    certification key (:func:`condprobe.cond_key`) for EVERY case on the
+    concrete planning batch and re-routes on the exact distribution —
+    fastest per-case-sound rung first:
+
+    1. every key under the moments-ds est edge   -> whole batch on the
+       ~2x-faster ds body (measured 28.7 vs ts 14.5 M fits/s, v5e);
+    2. every key under the moments-dsts est edge -> whole batch on dsts
+       (23.3 M fits/s);
+    3. every key under the moments-ts est edge   -> keep the ts route,
+       which is thereby certified per-case rather than on the sample;
+    4. a certified-majority split (fast body for the keys under the
+       edge, ts re-solve for the tail window) — ONLY when the
+       throughput model predicts the composition beats the plain ts
+       kernel by :data:`ladder.SPLIT_MIN_GAIN`.  On current devices the
+       data-dependent compaction glue (XLA lowers the dynamic tail
+       gather to a serial row loop — measured ~1.3 full ts fits per
+       case, benchmarks/r5_split_ablate.json) makes the split LOSE to
+       the rung-3 ts kernel, so this rung stays dormant until the glue
+       constant drops (ladder.SPLIT_GLUE_TS_UNITS).
+
+    Decision needs concrete data (the key distribution), mirroring the
+    probe/ladder split of plan-time vs run-time everywhere else in this
+    module; replayed batches ride the plan-representativeness contract
+    that FitPlan carries throughout.
     """
     from wlsqm_tpu.fitter import condprobe
     from wlsqm_tpu.ops import pallas_fit
@@ -252,22 +291,44 @@ def _maybe_split_route(route, xk, nk, xi, *, dim, K, o, kn, wm,
     if (route.path != "kernel" or route.kernel_precision != "ts"
             or not basic or not pallas_fit.moment_cert_ok(dim, o, K)):
         return route
+    edges = condprobe.est_certified_edges()
+    if not any(edges.get(k) for k in ("ds", "dsts", "ts")):
+        return route
+    est = np.asarray(condprobe.cond_key(xk, nk, xi, dimension=dim, order=o,
+                                        knowns=kn, weighting=wm))
+    B = est.shape[0]
+    # NaN keys (degenerate cases) poison the max, failing every rung
+    # below — exactly right: such cases certify nothing
+    max_est = float(np.max(est)) if B else float("nan")
+    if edges.get("ds") and max_est <= edges["ds"]:
+        return dataclasses.replace(
+            route, kernel_precision="ds", assembly="moments",
+            refine_steps=condprobe.pick_steps_at_edge(max_est))
+    if edges.get("dsts") and max_est <= edges["dsts"]:
+        # dsts sweeps contract at the same f32-preconditioner rate as
+        # ds; 3 are converged at any certifiable edge (rate^4 < 1e-13
+        # at est = 8000)
+        return dataclasses.replace(
+            route, kernel_precision="dsts", assembly="moments",
+            refine_steps=3)
+    if edges.get("ts") and max_est <= edges["ts"]:
+        return route
     choice = condprobe.split_partition_choice()
     if choice is None:
         return route
     prec, edge = choice
-    est = np.asarray(condprobe.cond_key(xk, nk, xi, dimension=dim, order=o,
-                                        knowns=kn, weighting=wm))
-    B = est.shape[0]
     frac_fast = float((est <= edge).mean())
     if frac_fast < ladder.SPLIT_MIN_FRAC:
         return route
     tail_frac = float(min(1.0, (1.0 - frac_fast) * ladder.TAIL_MARGIN
                           + pallas_fit.TILE / max(B, 1)))
-    # dsts sweeps contract at the same f32-preconditioner rate as ds;
-    # 3 sweeps are converged at any certifiable edge (rate^4 < 1e-13 at
-    # est = 8000), so the dsts partition pins r3 and the ds partition
-    # takes the model pick
+    # throughput guard: predicted split time per case in ts-fit units
+    # (fast body 1/speed + tail window re-solve + compaction glue) must
+    # beat the plain ts kernel's 1.0 by SPLIT_MIN_GAIN
+    speed = ladder.SPLIT_SPEED_VS_TS.get(prec, 1.0)
+    pred = 1.0 / speed + tail_frac + ladder.SPLIT_GLUE_TS_UNITS
+    if pred * ladder.SPLIT_MIN_GAIN >= 1.0:
+        return route
     steps = 3 if prec == "dsts" else condprobe.pick_steps_at_edge(edge)
     return dataclasses.replace(
         route, path="kernel-split", assembly="moments",

@@ -562,6 +562,29 @@ def split_partition_choice(tol: float = AUTO_TOL):
 SPLIT_DSTS_MIN_GAIN = 1.3
 
 
+def est_certified_edges(tol: float = AUTO_TOL) -> dict:
+    """Per-case est-key certification edges of the moment-kernel bodies.
+
+    ``{"ds": edge, "dsts": edge, "ts": edge}`` — the largest per-case
+    certification key (:func:`cond_key` / the kernel's ``emit_cond``
+    output, identical formulas) at which each arithmetic's calibrated
+    envelope stays under ``tol`` with :data:`SAFETY` applied; ``None``
+    entries for uncalibrated variants, ``{}`` when the device record is
+    uncertified.  A batch whose exact key maximum sits under an edge is
+    per-case certified for that variant as a whole — the routing rungs
+    in :func:`wlsqm_tpu.api.plan_fit_many` that close the sampled
+    probe's coverage hole (the sampled max can miss the true one
+    entirely; the round-5 headline cloud sampled 21,101 vs 50,876).
+    """
+    u = _units()
+    if not u.certified:
+        return {}
+    return {name: (tol / (SAFETY * unit) if unit else None)
+            for name, unit in (("ds", u.est_ds_cert_unit_m),
+                               ("dsts", u.est_dsts_cert_unit_m),
+                               ("ts", u.est_ts_parity_unit_m))}
+
+
 def pick_steps_at_edge(ca_edge: float, tol: float = AUTO_TOL,
                        candidates=(2, 3, 4),
                        assembly: str = "moments") -> int:

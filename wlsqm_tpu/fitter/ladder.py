@@ -167,6 +167,25 @@ TAIL_MARGIN = 1.6
 #: before paying for the key; never in a certification decision
 EST_OVER_COND_MED = 1.5
 
+#: measured speed of the moment bodies relative to the ts moment kernel
+#: on the same config (TPU v5e, benchmarks/r5_split_decomp.json — 2D
+#: order-4 K=30: ds 28.7 / dsts 23.3 / ts 14.5 M fits/s); feeds the
+#: split throughput guard only, never a certification decision
+SPLIT_SPEED_VS_TS = {"ds": 1.95, "dsts": 1.6}
+
+#: measured cost of the traced split's data-dependent compaction
+#: (nonzero window + tail gather + result scatter), in units of one
+#: full-batch ts fit per case: r5_split_ablate measured ~3.0 ms of glue
+#: on a 32k-case chunk whose plain-ts fit costs 2.25 ms — XLA lowers
+#: the dynamic row gather to a serial loop on TPU, so until the
+#: compaction gets a native kernel the split pays ~1.3 ts-fits of
+#: overhead per case and loses to the plain ts rung it upgrades
+SPLIT_GLUE_TS_UNITS = 1.3
+
+#: required predicted speed advantage of the split composition over the
+#: plain batch-level ts kernel before the upgrade engages
+SPLIT_MIN_GAIN = 1.1
+
 
 def _sweeps(rate: float) -> int:
     """Smallest n with rate**(n+1) <= SWEEP_TARGET."""
